@@ -1,0 +1,155 @@
+"""CLI driver: rolling long-video T2V/I2V generation.
+
+Re-design of `MMPL_t2v/Wan_fps_inference_1gpu.py` (+ the bash entry points):
+`--duration` windows are generated sequentially, bridged through the causal
+pixel re-encode (…_1gpu.py:160-205), and written as mp4 @16fps.  With
+`--checkpoint-dir` absent it runs in smoke mode (random weights, synthetic
+text embeddings) so the full pipeline can be driven end-to-end on any chip
+without the 14B/1.3B weight bundle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mmpl_tpu video generation")
+    p.add_argument("--config", default=None, help="run-config yaml")
+    p.add_argument("--model", default="t2v-1.3B",
+                   choices=["t2v-14B", "t2v-1.3B", "i2v-14B", "smoke"],
+                   help="model config ('smoke' = tiny random-weight)")
+    p.add_argument("--prompt", default="a cat surfing a wave at sunset")
+    p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--checkpoint-path", default=None,
+                   help="MMPL generator .pt (t2v_14B_8k.pt style)")
+    p.add_argument("--wan-dir", default=None,
+                   help="Wan2.1 base dir (T5/VAE/DiT weights)")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--duration", type=int, default=1,
+                   help="number of 21-frame windows (~5s each)")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--sampling-steps", type=int, default=50)
+    p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--timestep-shift", type=float, default=8.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="output.mp4")
+    p.add_argument("--save-latents", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.duration < 1:
+        print("error: --duration must be >= 1", file=sys.stderr)
+        return 2
+    import jax
+    import jax.numpy as jnp
+    from .core.config import WAN_CONFIGS, tiny_test_config
+    from .core.geometry import latent_frames, pixel_frames
+    from .models import dit, vae
+    from .pipelines.fps_inference import CausalFPSInferencePipeline
+
+    smoke = args.model == "smoke" or args.checkpoint_path is None
+    if args.model == "smoke":
+        cfg = tiny_test_config()
+        H = W = 64                      # pixels
+    else:
+        cfg = WAN_CONFIGS[args.model]
+        H, W = args.height, args.width
+    lat_h, lat_w = H // 8, W // 8
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    if smoke:
+        print(f"[smoke mode] random weights, config={cfg.name}",
+              file=sys.stderr)
+        params = dit.init_dit_params(key, cfg, jnp.bfloat16)
+        vae_params = vae.init_vae_params(jax.random.PRNGKey(1), jnp.float32)
+        text_encoder = None
+    else:
+        from .utils import checkpoint as ckpt
+        from .utils.tokenizer import WanTextEncoder
+        from .models.t5 import UMT5_XXL
+        params = ckpt.load_mmpl_generator(args.checkpoint_path, cfg,
+                                          use_ema=args.use_ema,
+                                          dtype=np.float32)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        vae_params = ckpt.load_vae(
+            os.path.join(args.wan_dir, cfg.vae_checkpoint))
+        t5_params = ckpt.load_t5(
+            os.path.join(args.wan_dir, cfg.t5_checkpoint), UMT5_XXL)
+        text_encoder = WanTextEncoder(
+            t5_params, UMT5_XXL,
+            os.path.join(args.wan_dir, "google/umt5-xxl"))
+    print(f"model init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if text_encoder is not None:
+        cond = text_encoder([args.prompt])["prompt_embeds"]
+        neg = args.negative_prompt or cfg.sample_neg_prompt
+        uncond = text_encoder([neg])["prompt_embeds"]
+    else:
+        cond = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, cfg.text_len, cfg.text_dim))
+        uncond = jax.random.normal(jax.random.PRNGKey(3),
+                                   (1, cfg.text_len, cfg.text_dim))
+
+    pipe = CausalFPSInferencePipeline(
+        cfg, params, sampling_steps=args.sampling_steps,
+        timestep_shift=args.timestep_shift,
+        guidance_scale=args.guidance_scale,
+        dtype=jnp.bfloat16 if not smoke else jnp.float32)
+
+    rng = jax.random.PRNGKey(args.seed + 100)
+    videos = []
+    initial_latent = None
+    all_latents = []
+    for win in range(args.duration):
+        rng, kn, ki = jax.random.split(rng, 3)
+        noise = jax.random.normal(kn, (1, 21, 16, lat_h, lat_w))
+        t0 = time.time()
+        latents = pipe.inference(noise, cond, uncond,
+                                 initial_latent=initial_latent, rng=ki)
+        latents_np = np.asarray(latents)
+        print(f"window {win}: denoise {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        all_latents.append(latents_np)
+
+        t0 = time.time()
+        video = np.asarray(vae.decode_streaming(
+            vae_params, latents.astype(jnp.float32)))
+        print(f"window {win}: vae decode {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        video01 = np.clip(video * 0.5 + 0.5, 0, 1)
+        if win > 0:
+            # trim the bridged overlap: (2-1)*4+1 = 5 pixel frames
+            video01 = video01[:, 5:]
+        videos.append(video01)
+
+        # rolling bridge (…_1gpu.py:160-205): re-encode the last 5 pixel
+        # frames of this window as the next window's 2 context latents
+        if win + 1 < args.duration:
+            tail = jnp.asarray(video01[:, -5:] * 2.0 - 1.0)
+            initial_latent = vae.encode(vae_params, tail)[:, :2]
+
+    full = np.concatenate(videos, axis=1)    # [B, T, 3, H, W]
+    if args.save_latents:
+        np.save(args.save_latents, np.stack(all_latents, axis=1))
+    frames = (full[0].transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+    from .utils.video_io import write_video
+    path = write_video(args.output, frames, fps=16)
+    print(f"wrote {path}: {frames.shape[0]} frames "
+          f"{frames.shape[2]}x{frames.shape[1]} @16fps", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,418 @@
+"""Wan DiT in functional JAX: shared layers + the bidirectional model.
+
+Re-design of `MMPL_t2v/wan/modules/model.py` (WanModel and its submodules)
+for TPU/XLA: parameters are plain pytrees (per-block leaves stacked along a
+leading layer axis so the whole trunk runs as one `lax.scan`), all shapes are
+static, norms compute in fp32 and cast back (WanRMSNorm/WanLayerNorm
+semantics, model.py:70-99), and the 6-way AdaLN modulation follows
+WanAttentionBlock.forward (model.py:315-354) with per-frame timestep support
+(the causal models' shape, causal_fps_model.py:312-364).
+
+Weight layout: torch Linear [out, in] is stored transposed as
+kernel [in, out]; the Conv3d patch embedding (stride == kernel) is stored as
+a [prod(patch)*C_in, dim] matrix applied to patchified tokens with feature
+order (c_in, dt, dh, dw) — see `utils/checkpoint.py` for the exact mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention
+from ..ops.rope import apply_rope, window_rope_table
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray,
+             eps: float = 1e-6) -> jnp.ndarray:
+    """WanRMSNorm (model.py:70-86): fp32 norm, cast back, then scale."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return normed.astype(x.dtype) * weight.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6,
+               weight: Optional[jnp.ndarray] = None,
+               bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """WanLayerNorm (model.py:89-99): fp32 compute, cast back."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    if weight is not None:
+        y = y * weight.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["fc2"], gelu_tanh(linear(p["fc1"], x)))
+
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """model.py:15-25; fp32 (reference uses fp64 — negligible difference)."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(
+        10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = pos[..., None] * freqs
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -a, a).astype(dtype)
+
+
+def init_linear(key, din: int, dout: int, dtype, *, std: Optional[float] = None,
+                zero: bool = False, bias: bool = True) -> Params:
+    if zero:
+        kernel = jnp.zeros((din, dout), dtype)
+    elif std is not None:
+        kernel = (jax.random.normal(key, (din, dout), jnp.float32)
+                  * std).astype(dtype)
+    else:
+        kernel = _xavier_uniform(key, (din, dout), dtype)
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def init_block_params(key, cfg, dtype) -> Params:
+    """One WanAttentionBlock (model.py:275-313)."""
+    d, fd = cfg.dim, cfg.ffn_dim
+    ks = jax.random.split(key, 16)
+    p: Params = {
+        "self_attn": {
+            "q": init_linear(ks[0], d, d, dtype),
+            "k": init_linear(ks[1], d, d, dtype),
+            "v": init_linear(ks[2], d, d, dtype),
+            "o": init_linear(ks[3], d, d, dtype),
+            "norm_q": {"weight": jnp.ones((d,), dtype)},
+            "norm_k": {"weight": jnp.ones((d,), dtype)},
+        },
+        "cross_attn": {
+            "q": init_linear(ks[4], d, d, dtype),
+            "k": init_linear(ks[5], d, d, dtype),
+            "v": init_linear(ks[6], d, d, dtype),
+            "o": init_linear(ks[7], d, d, dtype),
+            "norm_q": {"weight": jnp.ones((d,), dtype)},
+            "norm_k": {"weight": jnp.ones((d,), dtype)},
+        },
+        "ffn": {
+            "fc1": init_linear(ks[8], d, fd, dtype),
+            "fc2": init_linear(ks[9], fd, d, dtype),
+        },
+        "modulation": (jax.random.normal(ks[10], (1, 6, d), jnp.float32)
+                       / math.sqrt(d)).astype(dtype),
+    }
+    if cfg.cross_attn_norm:
+        p["norm3"] = {"weight": jnp.ones((d,), dtype),
+                      "bias": jnp.zeros((d,), dtype)}
+    if cfg.model_type == "i2v":
+        p["cross_attn"]["k_img"] = init_linear(ks[11], d, d, dtype)
+        p["cross_attn"]["v_img"] = init_linear(ks[12], d, d, dtype)
+        p["cross_attn"]["norm_k_img"] = {"weight": jnp.ones((d,), dtype)}
+    return p
+
+
+def init_dit_params(key, cfg, dtype=jnp.bfloat16) -> Params:
+    """Full WanModel/CausalFPSWanModel parameter pytree; blocks stacked [L,...]."""
+    d = cfg.dim
+    pt, ph, pw = cfg.patch_size
+    ks = jax.random.split(key, 12)
+    blocks = [init_block_params(k, cfg, dtype)
+              for k in jax.random.split(ks[0], cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params: Params = {
+        "patch_embedding": init_linear(ks[1], pt * ph * pw * cfg.in_dim, d,
+                                       dtype),
+        "text_embedding": {
+            "fc1": init_linear(ks[2], cfg.text_dim, d, dtype, std=0.02),
+            "fc2": init_linear(ks[3], d, d, dtype, std=0.02),
+        },
+        "time_embedding": {
+            "fc1": init_linear(ks[4], cfg.freq_dim, d, dtype, std=0.02),
+            "fc2": init_linear(ks[5], d, d, dtype, std=0.02),
+        },
+        "time_projection": {"fc": init_linear(ks[6], d, 6 * d, dtype)},
+        "blocks": stacked,
+        "head": {
+            "head": init_linear(ks[7], d, pt * ph * pw * cfg.out_dim, dtype,
+                                zero=True),
+            "modulation": (jax.random.normal(ks[8], (1, 2, d), jnp.float32)
+                           / math.sqrt(d)).astype(dtype),
+        },
+    }
+    if cfg.model_type == "i2v":
+        params["img_emb"] = {
+            "norm1": {"weight": jnp.ones((1280,), dtype),
+                      "bias": jnp.zeros((1280,), dtype)},
+            "fc1": init_linear(ks[9], 1280, 1280, dtype),
+            "fc2": init_linear(ks[10], 1280, d, dtype),
+            "norm2": {"weight": jnp.ones((d,), dtype),
+                      "bias": jnp.zeros((d,), dtype)},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Patchify / unpatchify
+# ---------------------------------------------------------------------------
+
+def patchify(p: Params, latents: jnp.ndarray,
+             patch_size: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, F, C, H, W] -> tokens [B, F*gh*gw, dim]; matches the Conv3d
+    patch embedding (model.py:583, stride == kernel, pt == 1)."""
+    B, F, C, H, W = latents.shape
+    pt, ph, pw = patch_size
+    assert pt == 1, "temporal patch is 1 in all Wan configs"
+    gh, gw = H // ph, W // pw
+    x = latents.transpose(0, 1, 3, 4, 2)                  # [B,F,H,W,C]
+    x = x.reshape(B, F, gh, ph, gw, pw, C)
+    x = x.transpose(0, 1, 2, 4, 6, 3, 5)                  # [B,F,gh,gw,C,ph,pw]
+    x = x.reshape(B, F * gh * gw, C * ph * pw)
+    return linear(p, x)
+
+
+def unpatchify(x: jnp.ndarray, num_frames: int, grid: Tuple[int, int],
+               patch_size: Tuple[int, int, int], out_dim: int) -> jnp.ndarray:
+    """tokens [B, L, pt*ph*pw*C] -> [B, F, C, H, W] (model.py:876-899)."""
+    B = x.shape[0]
+    pt, ph, pw = patch_size
+    gh, gw = grid
+    # head output feature order is (pt, ph, pw, c) per einsum fhwpqrc->cfphqwr
+    x = x.reshape(B, num_frames, gh, gw, pt, ph, pw, out_dim)
+    x = x.transpose(0, 1, 4, 7, 2, 5, 3, 6)   # [B,F,pt,C,gh,ph,gw,pw]
+    x = x.reshape(B, num_frames * pt, out_dim, gh * ph, gw * pw)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Block forward (shared by bidirectional / causal / fps models)
+# ---------------------------------------------------------------------------
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
+             num_frames: int) -> jnp.ndarray:
+    """x [B, F*S, D] modulated per frame by shift/scale [B, F, 1, D]."""
+    B, L, D = x.shape
+    xs = x.reshape(B, num_frames, L // num_frames, D)
+    xs = xs * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+    return xs.reshape(B, L, D)
+
+
+def gate(x: jnp.ndarray, g: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    B, L, D = x.shape
+    xs = x.reshape(B, num_frames, L // num_frames, D)
+    return (xs * g.astype(x.dtype)).reshape(B, L, D)
+
+
+def cross_attention(p: Params, x: jnp.ndarray, ctx_k: jnp.ndarray,
+                    ctx_v: jnp.ndarray, num_heads: int,
+                    img_k: Optional[jnp.ndarray] = None,
+                    img_v: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """WanT2V/I2VCrossAttention with precomputed context K/V
+    (model.py:159-266; the crossattn_cache path)."""
+    B, L, D = x.shape
+    d = D // num_heads
+    q = rms_norm(linear(p["q"], x), p["norm_q"]["weight"]).reshape(
+        B, L, num_heads, d)
+    out = attention(q, ctx_k, ctx_v)
+    if img_k is not None:
+        out = out + attention(q, img_k, img_v)
+    return linear(p["o"], out.reshape(B, L, D))
+
+
+def precompute_context_kv(params: Params, cfg, context_emb: jnp.ndarray,
+                          img_emb: Optional[jnp.ndarray] = None):
+    """Per-layer cross-attention K/V for a fixed (already embedded) context.
+
+    Replaces the reference's lazily-initialised crossattn_cache
+    (model.py:174-183, casual_fps_inference.py:482-501) with one vectorised
+    pass over the stacked layers.  Returns pytree with leaves [L, B, T, N, d].
+    """
+    B, T, D = context_emb.shape
+    n, d = cfg.num_heads, cfg.dim // cfg.num_heads
+
+    def one_layer(cp):
+        k = rms_norm(linear(cp["k"], context_emb),
+                     cp["norm_k"]["weight"]).reshape(B, T, n, d)
+        v = linear(cp["v"], context_emb).reshape(B, T, n, d)
+        out = {"k": k, "v": v}
+        if img_emb is not None:
+            Ti = img_emb.shape[1]
+            out["k_img"] = rms_norm(linear(cp["k_img"], img_emb),
+                                    cp["norm_k_img"]["weight"]).reshape(
+                                        B, Ti, n, d)
+            out["v_img"] = linear(cp["v_img"], img_emb).reshape(B, Ti, n, d)
+        return out
+
+    return jax.vmap(one_layer)(params["blocks"]["cross_attn"])
+
+
+def block_forward(bp: Params, cfg, x: jnp.ndarray, e: jnp.ndarray,
+                  self_attn_fn, ctx_kv: Params,
+                  num_frames: int) -> jnp.ndarray:
+    """One transformer block (model.py:315-354 / causal_fps_model.py:312-364).
+
+    e: [B, F, 6, D] fp32; self_attn_fn: callable on the modulated hidden.
+    """
+    mod = bp["modulation"].astype(jnp.float32)[None]       # [1,1,6,D]
+    e6 = mod + e.astype(jnp.float32)                       # [B,F,6,D]
+    shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = (
+        e6[:, :, i:i + 1] for i in range(6))
+
+    y = self_attn_fn(modulate(layer_norm(x, cfg.eps), shift_sa, scale_sa,
+                              num_frames))
+    x = x + gate(y, gate_sa, num_frames)
+
+    norm3 = bp.get("norm3")
+    xc = layer_norm(x, cfg.eps, norm3["weight"], norm3["bias"]) \
+        if norm3 is not None else x
+    x = x + cross_attention(bp["cross_attn"], xc, ctx_kv["k"], ctx_kv["v"],
+                            cfg.num_heads, ctx_kv.get("k_img"),
+                            ctx_kv.get("v_img"))
+
+    y = mlp(bp["ffn"], modulate(layer_norm(x, cfg.eps), shift_ff, scale_ff,
+                                num_frames))
+    return x + gate(y, gate_ff, num_frames)
+
+
+def head_forward(hp: Params, cfg, x: jnp.ndarray, e: jnp.ndarray,
+                 num_frames: int) -> jnp.ndarray:
+    """Final AdaLN head (model.py:439-466 / CausalHead); e [B, F, D] fp32."""
+    mod = hp["modulation"].astype(jnp.float32)[None]       # [1,1,2,D]
+    e2 = mod + e.astype(jnp.float32)[:, :, None]           # [B,F,2,D]
+    shift, scale = e2[:, :, 0:1], e2[:, :, 1:2]
+    return linear(hp["head"], modulate(layer_norm(x, cfg.eps), shift, scale,
+                                       num_frames))
+
+
+def time_embed(params: Params, cfg, t: jnp.ndarray):
+    """t [B, F] (train timestep scale) -> e [B, F, D], e0 [B, F, 6, D].
+
+    model.py:696-698 / causal_fps_model.py:772-776; computed in fp32.
+    """
+    B, F = t.shape
+    sin = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1))
+    te = params["time_embedding"]
+    e = linear(te["fc2"], jax.nn.silu(linear(te["fc1"],
+                                             sin.astype(jnp.float32))))
+    e0 = linear(params["time_projection"]["fc"], jax.nn.silu(e))
+    return (e.reshape(B, F, cfg.dim),
+            e0.reshape(B, F, 6, cfg.dim))
+
+
+def embed_text(params: Params, context: jnp.ndarray) -> jnp.ndarray:
+    """text encoder states [B, 512, text_dim] -> [B, 512, dim] (model.py:703)."""
+    return mlp({"fc1": params["text_embedding"]["fc1"],
+                "fc2": params["text_embedding"]["fc2"]}, context)
+
+
+def embed_image_clip(params: Params, clip_fea: jnp.ndarray) -> jnp.ndarray:
+    """MLPProj for i2v CLIP features (model.py:469-481)."""
+    p = params["img_emb"]
+    x = layer_norm(clip_fea, 1e-5, p["norm1"]["weight"], p["norm1"]["bias"])
+    x = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+    return layer_norm(x, 1e-5, p["norm2"]["weight"], p["norm2"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional WanModel forward (teacher / non-causal paths)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg_key",))
+def _noop(cfg_key):  # pragma: no cover - placeholder to keep jit imports used
+    return None
+
+
+def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
+                context: jnp.ndarray,
+                clip_fea: Optional[jnp.ndarray] = None,
+                y: Optional[jnp.ndarray] = None,
+                attn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Bidirectional Wan DiT (WanModel._forward, model.py:637-771).
+
+    latents: [B, F, C, H, W]; t: [B] or [B, F]; context: [B, 512, text_dim].
+    y: i2v conditioning concat along channels.  Returns flow prediction
+    [B, F, C_out, H, W].
+    """
+    if y is not None:
+        latents = jnp.concatenate([latents, y], axis=2)
+    B, F, C, H, W = latents.shape
+    grid = (H // cfg.patch_size[1], W // cfg.patch_size[2])
+    S = grid[0] * grid[1]
+
+    x = patchify(params["patch_embedding"], latents, cfg.patch_size)
+    dtype = x.dtype
+
+    if t.ndim == 1:
+        t = t[:, None]                         # [B,1] -> broadcast per frame
+    if t.shape[1] == 1:
+        t_full = jnp.broadcast_to(t, (B, F))
+    else:
+        t_full = t
+    e, e0 = time_embed(params, cfg, t_full)
+
+    ctx = embed_text(params, context.astype(dtype))
+    img = embed_image_clip(params, clip_fea.astype(dtype)) \
+        if clip_fea is not None else None
+    ctx_kv = precompute_context_kv(params, cfg, ctx, img)
+
+    head_dim = cfg.dim // cfg.num_heads
+    cos_np, sin_np = window_rope_table(F, grid[0], grid[1], head_dim)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    n, d = cfg.num_heads, head_dim
+
+    def self_attn(sp, xm):
+        L = xm.shape[1]
+        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
+            B, L, n, d)
+        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
+            B, L, n, d)
+        v = linear(sp["v"], xm).reshape(B, L, n, d)
+        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
+        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        out = attention(q, k, v, mask=attn_mask)
+        return linear(sp["o"], out.reshape(B, L, -1))
+
+    def scan_body(x, layer_in):
+        bp, ckv = layer_in
+        x = block_forward(bp, cfg, x, e0,
+                          partial(self_attn, bp["self_attn"]), ckv, F)
+        return x, None
+
+    x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
+
+    x = head_forward(params["head"], cfg, x, e, F)
+    return unpatchify(x, F, grid, cfg.patch_size, cfg.out_dim)

@@ -1,0 +1,149 @@
+"""Causal FPS Wan DiT: the MMPL planned-KV-cache model, TPU-native.
+
+Re-design of `MMPL_t2v/wan/modules/causal_fps_model.py` (CausalFPSWanModel).
+The reference addresses its KV cache with runtime Python lists
+(`current_start`, `attention_vis_index`, the `slot-6` remap and the
+`15*1560` append branch, causal_fps_model.py:193-264).  All of that is a
+pure function of the static chunk plan, so here every chunk-group runs as a
+single XLA program:
+
+  * the KV cache is an explicit pytree of [num_layers, B, SLOTS, S, N, d]
+    arrays (SLOTS = 15 frame slots, S = tokens/frame) threaded through the
+    group loop;
+  * cache writes are static `.at[slot].set` updates at the group's
+    precomputed `write_slots`;
+  * visibility is a static gather of `visible_slots` — **no attention mask
+    at all**, the gathered set *is* the mask (attention is dense over it);
+  * RoPE is applied at each frame's absolute window position via
+    compile-time cos/sin tables (causal_fps_rope_apply semantics,
+    causal_fps_model.py:27-55).
+
+Queries in append-mode groups (the group containing frame 15) attend to the
+gathered cache plus their own in-flight keys and never write the cache
+(causal_fps_model.py:254-264).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import GroupSchedule, KV_CACHE_SLOTS
+from ..ops.attention import attention
+from ..ops.rope import apply_rope, rope_table
+from .dit import (Params, block_forward, head_forward, linear, patchify,
+                  rms_norm, time_embed, unpatchify)
+
+
+def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
+                  num_slots: int = KV_CACHE_SLOTS,
+                  dtype=jnp.bfloat16) -> Params:
+    """Zeroed planned KV cache (casual_fps_inference.py:453-480).
+
+    Layout [L, B, SLOTS, S, N, d]: frame-slot granular so plan writes and
+    visibility gathers are single static slices.
+    """
+    n, d = cfg.num_heads, cfg.dim // cfg.num_heads
+    shape = (cfg.num_layers, batch_size, num_slots, tokens_per_frame, n, d)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
+                      t: jnp.ndarray, ctx_kv: Params, kv_cache: Params,
+                      schedule: GroupSchedule,
+                      y: Optional[jnp.ndarray] = None,
+                      ) -> Tuple[jnp.ndarray, Params]:
+    """One forward of the group's frames through the whole trunk.
+
+    Args:
+      latents: [B, G, C, H, W] noisy latents of the group's frames (ascending
+        frame order, matching `schedule.frames`).
+      t: [B, G] timesteps (the FPS pipeline passes a shared scalar per step;
+        the clean-commit pass passes zeros).
+      ctx_kv: per-layer cross-attention K/V from
+        `dit.precompute_context_kv` (leaves [L, B, T, N, d]).
+      kv_cache: pytree from `init_kv_cache`; updated copy is returned.
+      schedule: static GroupSchedule for this group.
+      y: optional i2v channel-concat conditioning [B, G, C', H, W].
+
+    Returns (flow_pred [B, G, C_out, H, W], new_kv_cache).
+    """
+    if y is not None:
+        latents = jnp.concatenate([latents, y], axis=2)
+    B, G, C, H, W = latents.shape
+    assert G == schedule.num_frames, (G, schedule)
+    grid = (H // cfg.patch_size[1], W // cfg.patch_size[2])
+    S = grid[0] * grid[1]
+    n, d = cfg.num_heads, cfg.dim // cfg.num_heads
+
+    x = patchify(params["patch_embedding"], latents, cfg.patch_size)
+    e, e0 = time_embed(params, cfg, t)
+
+    cos_np, sin_np = rope_table(schedule.frames, grid[0], grid[1], d)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+    # Attention over the visible set = cached *other* frames + the group's
+    # own in-flight K/V.  Attention is permutation-invariant over KV, so we
+    # never materialise an updated cache inside the layer scan (which would
+    # copy the full 15-slot cache per step); the tiny per-layer own-frame
+    # K/V is emitted as scan ys and written into the (donated) cache once at
+    # the end — O(group) HBM traffic instead of O(cache).
+    own = set(schedule.frames) if not schedule.append_mode else set()
+    other_slots = tuple(s for f, s in zip(schedule.visible_frames,
+                                          schedule.visible_slots)
+                        if f not in own)
+    vis_other = jnp.asarray(other_slots, dtype=jnp.int32)
+
+    def self_attn(sp, ck, cv, xm):
+        """Planned-cache attention; returns (out, own_k, own_v)."""
+        L = xm.shape[1]
+        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
+            B, L, n, d)
+        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
+            B, L, n, d)
+        v = linear(sp["v"], xm).reshape(B, L, n, d)
+        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
+        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+
+        if other_slots:
+            kv_k = jnp.concatenate(
+                [ck[:, vis_other].reshape(B, -1, n, d), k], axis=1)
+            kv_v = jnp.concatenate(
+                [cv[:, vis_other].reshape(B, -1, n, d), v], axis=1)
+        else:
+            kv_k, kv_v = k, v
+        out = attention(q, kv_k, kv_v)
+        return (linear(sp["o"], out.reshape(B, L, -1)),
+                k.reshape(B, G, S, n, d), v.reshape(B, G, S, n, d))
+
+    def scan_body(x, layer_in):
+        bp, ckv, ck, cv = layer_in
+        own_kv = {}
+
+        def self_attn_fn(xm):
+            out, own_kv["k"], own_kv["v"] = self_attn(
+                bp["self_attn"], ck, cv, xm)
+            return out
+
+        x = block_forward(bp, cfg, x, e0, self_attn_fn, ckv, G)
+        return x, (own_kv["k"], own_kv["v"])
+
+    x, (own_k, own_v) = jax.lax.scan(
+        scan_body, x, (params["blocks"], ctx_kv, kv_cache["k"],
+                       kv_cache["v"]))
+
+    if schedule.append_mode:
+        new_cache = kv_cache
+    else:
+        slots = jnp.asarray(schedule.write_slots, dtype=jnp.int32)
+        new_cache = {
+            "k": kv_cache["k"].at[:, :, slots].set(own_k),
+            "v": kv_cache["v"].at[:, :, slots].set(own_v),
+        }
+
+    x = head_forward(params["head"], cfg, x, e, G)
+    flow = unpatchify(x, G, grid, cfg.patch_size, cfg.out_dim)
+    return flow, new_cache

@@ -1,0 +1,119 @@
+"""Bidirectional (non-causal) whole-clip sampling pipelines.
+
+Re-design of `MMPL_t2v/pipeline/bidirectional_inference.py` (few-step, :7)
+and `bidirectional_diffusion_inference.py` (50-step UniPC CFG, :10) — the
+teacher / evaluation parity paths over the stock Wan DiT.  Both run as a
+single jitted `lax.scan` over the step axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.dit import dit_forward
+from ..schedulers.flow_match import FlowMatchScheduler
+from ..schedulers.unipc import FlowUniPC
+
+
+class BidirectionalDiffusionInferencePipeline:
+    """50-step UniPC + CFG over the bidirectional WanModel."""
+
+    def __init__(self, cfg, params, sampling_steps: int = 50,
+                 timestep_shift: float = 8.0, guidance_scale: float = 5.0,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.guidance_scale = float(guidance_scale)
+        self.dtype = dtype
+        self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift)
+        self._fn = None
+
+    def _build(self):
+        sampler = self.sampler
+        cfg = self.cfg
+        g = self.guidance_scale
+        dtype = self.dtype
+
+        @jax.jit
+        def run(params, noise, cond_ctx, uncond_ctx):
+            B = noise.shape[0]
+            ctx2 = jnp.concatenate([cond_ctx, uncond_ctx], 0)
+            state = sampler.init_state(noise.astype(jnp.float32))
+
+            def body(state, step_in):
+                coef, t = step_in
+                lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+                tt = jnp.broadcast_to(t, (2 * B,))
+                flow2 = dit_forward(params, cfg, lat2.astype(dtype), tt,
+                                    ctx2.astype(dtype))
+                cond, uncond = flow2[:B], flow2[B:]
+                flow = (uncond.astype(jnp.float32)
+                        + g * (cond - uncond).astype(jnp.float32))
+                return FlowUniPC.step(coef, state, flow), None
+
+            state, _ = jax.lax.scan(body, state,
+                                    (sampler.table, sampler.timesteps))
+            return state["sample"]
+
+        return run
+
+    def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
+                  uncond_context: jnp.ndarray) -> jnp.ndarray:
+        if self._fn is None:
+            self._fn = self._build()
+        return self._fn(self.params, noise, cond_context, uncond_context)
+
+
+class BidirectionalInferencePipeline:
+    """Few-step distilled whole-clip sampling (bidirectional_inference.py:7)."""
+
+    def __init__(self, cfg, params,
+                 denoising_step_list: Sequence[int] = (1000, 750, 500, 250),
+                 timestep_shift: float = 8.0, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.steps = tuple(int(t) for t in denoising_step_list)
+        self.dtype = dtype
+        self.scheduler = FlowMatchScheduler(shift=timestep_shift,
+                                            sigma_min=0.0,
+                                            extra_one_step=True)
+        self.scheduler.set_timesteps(1000, training=True)
+        self._fn = None
+
+    def _build(self):
+        cfg, steps, sch, dtype = self.cfg, self.steps, self.scheduler, \
+            self.dtype
+
+        @jax.jit
+        def run(params, noise, cond_ctx, rng):
+            B, F = noise.shape[:2]
+            x = noise.astype(jnp.float32)
+            for i, t_int in enumerate(steps):
+                tt = jnp.full((B,), float(t_int), jnp.float32)
+                flow = dit_forward(params, cfg, x.astype(dtype), tt, cond_ctx)
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])
+                x0 = sch.convert_flow_pred_to_x0(
+                    flat(flow).astype(jnp.float32), flat(x),
+                    jnp.repeat(tt, F)).reshape(x.shape)
+                if i < len(steps) - 1:
+                    rng, k = jax.random.split(rng)
+                    noise_i = jax.random.normal(k, x.shape, jnp.float32)
+                    nt = jnp.full((B * F,), float(steps[i + 1]))
+                    x = sch.add_noise(flat(x0), flat(noise_i),
+                                      nt).reshape(x.shape)
+                else:
+                    x = x0
+            return x
+
+        return run
+
+    def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        if self._fn is None:
+            self._fn = self._build()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._fn(self.params, noise, cond_context, rng)

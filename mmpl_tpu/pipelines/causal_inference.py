@@ -1,0 +1,183 @@
+"""Few-step distilled causal AR pipeline (DMD/SiD/CausVid checkpoints).
+
+Re-design of `MMPL_t2v/pipeline/causal_inference.py` (CausalInferencePipeline)
++ the rolling-KV CausalWanModel attention (causal_model.py:193-226): blocks
+of `num_frame_per_block` frames are denoised through a short
+`denoising_step_list` (e.g. [1000, 750, 500, 250]) with re-noising between
+steps, no CFG, then committed to the KV cache at `context_noise`.
+
+TPU design: the KV cache is the same frame-slot pytree as the FPS model's
+(21 slots for a full window); each block index yields a *static* schedule
+(write slots = the block's frames, visible slots = the causal window
+[max(0, end - local_attn_size), end)), so every block compiles to one XLA
+program with the whole denoising step list unrolled inside it — the
+reference's per-step Python loop and `.item()` index bookkeeping disappear.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import GroupSchedule
+from ..models.dit import embed_text, precompute_context_kv
+from ..models.fps_dit import fps_forward_group, init_kv_cache
+from ..schedulers.flow_match import FlowMatchScheduler
+
+
+def block_schedule(start_frame: int, num_frames: int,
+                   local_attn_frames: int = 21) -> GroupSchedule:
+    """Static causal-attention schedule for one AR block."""
+    end = start_frame + num_frames
+    attn_start = max(0, end - local_attn_frames)
+    frames = tuple(range(start_frame, end))
+    return GroupSchedule(
+        index=start_frame, frames=frames, append_mode=False,
+        write_slots=frames,
+        visible_frames=tuple(range(attn_start, end)),
+        visible_slots=tuple(range(attn_start, end)),
+        anchor_group=False)
+
+
+class CausalInferencePipeline:
+    """Block-causal few-step sampling with rolling KV cache."""
+
+    def __init__(self, cfg, params,
+                 denoising_step_list: Sequence[int] = (1000, 750, 500, 250),
+                 num_frame_per_block: int = 3,
+                 context_noise: int = 0,
+                 timestep_shift: float = 8.0,
+                 independent_first_frame: bool = False,
+                 local_attn_frames: int = 21,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.denoising_step_list = tuple(int(t) for t in denoising_step_list)
+        self.num_frame_per_block = num_frame_per_block
+        self.context_noise = context_noise
+        self.independent_first_frame = independent_first_frame
+        self.local_attn_frames = local_attn_frames
+        self.dtype = dtype
+        # warp_denoising_step: map [1000,750,500,250] through the shifted
+        # schedule (configs/self_forcing_dmd.yaml; wan_wrapper scheduler)
+        self.scheduler = FlowMatchScheduler(shift=timestep_shift,
+                                            sigma_min=0.0,
+                                            extra_one_step=True)
+        self.scheduler.set_timesteps(1000, training=True)
+        self._block_fns = {}
+        self._commit_fns = {}
+
+    # ------------------------------------------------------------------
+
+    def _denoise_block(self, schedule: GroupSchedule, params, ctx_kv, cache,
+                       noisy, rng):
+        """All few-step denoising + clean commit for one block, one program."""
+        B, G = noisy.shape[0], schedule.num_frames
+        x = noisy.astype(jnp.float32)
+        steps = self.denoising_step_list
+        for i, t_int in enumerate(steps):
+            tt = jnp.full((B, G), float(t_int), jnp.float32)
+            flow, cache = fps_forward_group(
+                params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
+                schedule)
+            x0 = self.scheduler.convert_flow_pred_to_x0(
+                flow.reshape((-1,) + flow.shape[2:]).astype(jnp.float32),
+                x.reshape((-1,) + x.shape[2:]),
+                tt.reshape(-1)).reshape(x.shape)
+            if i < len(steps) - 1:
+                rng, k = jax.random.split(rng)
+                noise = jax.random.normal(k, x.shape, jnp.float32)
+                nt = jnp.full((B * G,), float(steps[i + 1]), jnp.float32)
+                x = self.scheduler.add_noise(
+                    x0.reshape((-1,) + x.shape[2:]),
+                    noise.reshape((-1,) + x.shape[2:]), nt).reshape(x.shape)
+            else:
+                x = x0
+        # clean-context commit at context_noise
+        tt = jnp.full((B, G), float(self.context_noise), jnp.float32)
+        _, cache = fps_forward_group(
+            params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
+            schedule)
+        return x, cache
+
+    def _commit_block(self, schedule: GroupSchedule, params, ctx_kv, cache,
+                      clean):
+        B, G = clean.shape[0], schedule.num_frames
+        tt = jnp.zeros((B, G), jnp.float32)
+        _, cache = fps_forward_group(params, self.cfg,
+                                     clean.astype(self.dtype), tt, ctx_kv,
+                                     cache, schedule)
+        return cache
+
+    def _get(self, cache_dict, fn, start: int, G: int):
+        key = (start, G)
+        if key not in cache_dict:
+            sched = block_schedule(start, G, self.local_attn_frames)
+            cache_dict[key] = jax.jit(functools.partial(fn, sched),
+                                      donate_argnums=(2,))
+        return cache_dict[key]
+
+    # ------------------------------------------------------------------
+
+    def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
+                  initial_latent: Optional[jnp.ndarray] = None,
+                  rng: Optional[jax.Array] = None,
+                  return_latents: bool = True) -> jnp.ndarray:
+        """noise [B, F, C, H, W] -> denoised latents [B, F_in + F, C, H, W].
+
+        Unlike the CFG pipeline there is no negative branch (the distilled
+        model needs none, causal_inference.py:186-221).
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        B, F, C, H, W = noise.shape
+        nb = self.num_frame_per_block
+        n_init = 0 if initial_latent is None else initial_latent.shape[1]
+
+        emb = embed_text(self.params, cond_context.astype(self.dtype))
+        ctx_kv = precompute_context_kv(self.params, self.cfg, emb)
+        total = n_init + F
+        cache = init_kv_cache(self.cfg, B, H * W // 4,
+                              num_slots=max(total, self.local_attn_frames),
+                              dtype=self.dtype)
+        outputs = []
+
+        start = 0
+        # commit context blocks (causal_inference.py:137-172)
+        if initial_latent is not None:
+            sizes = []
+            rem = n_init
+            if self.independent_first_frame:
+                sizes.append(1)
+                rem -= 1
+            sizes += [nb] * (rem // nb)
+            consumed = 0
+            for g in sizes:
+                clean = initial_latent[:, consumed:consumed + g]
+                fn = self._get(self._commit_fns, self._commit_block, start, g)
+                cache = fn(self.params, ctx_kv, cache,
+                           clean.astype(jnp.float32))
+                outputs.append(clean.astype(jnp.float32))
+                consumed += g
+                start += g
+
+        # denoise blocks
+        sizes = []
+        rem = F
+        if self.independent_first_frame and initial_latent is None:
+            sizes.append(1)
+            rem -= 1
+        sizes += [nb] * (rem // nb)
+        consumed = 0
+        for g in sizes:
+            rng, sub = jax.random.split(rng)
+            noisy = noise[:, consumed:consumed + g]
+            fn = self._get(self._block_fns, self._denoise_block, start, g)
+            x, cache = fn(self.params, ctx_kv, cache, noisy, sub)
+            outputs.append(x)
+            consumed += g
+            start += g
+
+        return jnp.concatenate(outputs, axis=1)

@@ -1,0 +1,226 @@
+"""CausalFPSInferencePipeline: macro-from-micro planned window denoising.
+
+TPU re-design of `MMPL_t2v/pipeline/casual_fps_inference.py`.  Differences
+from the reference, all behavior-preserving:
+
+  * CFG runs as a batched pair (cond/uncond stacked on the batch axis with
+    separate cache halves) instead of two GPUs with `.to()` copies
+    (casual_fps_inference.py:41-51,346-374).
+  * Each chunk-group's 50-step UniPC loop is ONE `lax.scan` inside ONE jitted
+    program; the KV cache is an explicit carry instead of mutated module
+    state.  The per-group programs compile once (static plan).
+  * The solver history lives in the UniPC scan state; a fresh state per group
+    reproduces the reference's per-group scheduler re-init
+    (casual_fps_inference.py:337).
+  * The clean-KV commit rerun (casual_fps_inference.py:385-403) is a t=0
+    forward fused into the same program.  For append-mode groups the
+    reference's commit writes nothing (causal_fps_model.py:254-264), so we
+    skip it there.
+  * The anchor-group boundary re-seed (casual_fps_inference.py:283-318) uses
+    the FlowMatch `add_noise` at `ddpm_timestep = timesteps[~990] + 1000`,
+    which resolves to sigma == 1.0 — i.e. fresh noise; we reproduce the
+    formula faithfully via the same lookup.
+
+The pipeline consumes precomputed text embeddings (see models/t5.py for the
+encoder); VAE decode is a separate stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import (ChunkPlan, GroupSchedule, KV_CACHE_SLOTS,
+                             t2v_plan)
+from ..models.dit import precompute_context_kv, embed_text, embed_image_clip
+from ..models.fps_dit import fps_forward_group, init_kv_cache
+from ..schedulers.flow_match import FlowMatchScheduler
+from ..schedulers.unipc import FlowUniPC
+
+
+class CausalFPSInferencePipeline:
+    """Planned chunk-order denoising of one 21-frame window."""
+
+    def __init__(self, cfg, params, plan: Optional[ChunkPlan] = None,
+                 sampling_steps: int = 50, timestep_shift: float = 8.0,
+                 guidance_scale: float = 5.0,
+                 num_train_timesteps: int = 1000,
+                 reseed_seed: int = 0,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.plan = plan or t2v_plan()
+        self.guidance_scale = float(guidance_scale)
+        self.dtype = dtype
+        self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift,
+                                 num_train_timesteps=num_train_timesteps)
+
+        # the re-seed scheduler: FlowMatchScheduler in training mode with the
+        # run shift (casual_fps_inference.py:93-109); the fixed random index
+        # in [980, 1000) is drawn once at pipeline construction.
+        self.ddpm = FlowMatchScheduler(shift=timestep_shift, sigma_min=0.0,
+                                       extra_one_step=True)
+        self.ddpm.set_timesteps(num_train_timesteps, training=True)
+        idx = int(np.random.default_rng(reseed_seed).integers(980, 1000))
+        self.ddpm_timestep = float(np.asarray(self.ddpm.timesteps)[idx]) + 1000.0
+
+        self._group_fns: Dict[int, callable] = {}
+        self._commit_fns: Dict[int, callable] = {}
+
+    # ------------------------------------------------------------------
+    # per-group programs
+    # ------------------------------------------------------------------
+
+    def _denoise_group(self, schedule: GroupSchedule, params, ctx_kv2,
+                       cache, noisy, reseed_first, reseed_last, rng):
+        """Jit-compiled: full 50-step denoise + clean commit of one group.
+
+        noisy: [B, G, C, H, W]; ctx_kv2 covers the stacked [cond; uncond]
+        batch (2B).  reseed_first/last: [B, 1, C, H, W] source latents or
+        zeros (gated by static schedule.reseed).
+        """
+        B = noisy.shape[0]
+        G = schedule.num_frames
+        latents = noisy.astype(jnp.float32)
+
+        if schedule.reseed:
+            k1, k2 = jax.random.split(rng)
+            ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
+            n1 = jax.random.normal(k1, latents[:, 0:1].shape, jnp.float32)
+            n2 = jax.random.normal(k2, latents[:, -1:].shape, jnp.float32)
+            latents = latents.at[:, 0:1].set(
+                self.ddpm.add_noise(reseed_first.astype(jnp.float32), n1, ts))
+            latents = latents.at[:, -1:].set(
+                self.ddpm.add_noise(reseed_last.astype(jnp.float32), n2, ts))
+
+        state = self.sampler.init_state(latents)
+
+        def body(carry, step_in):
+            cache, state = carry
+            coef, t = step_in
+            lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            tt = jnp.broadcast_to(t, (2 * B, G))
+            flow2, cache = fps_forward_group(
+                params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
+                cache, schedule)
+            cond, uncond = flow2[:B], flow2[B:]
+            flow = (uncond.astype(jnp.float32)
+                    + self.guidance_scale
+                    * (cond.astype(jnp.float32) - uncond.astype(jnp.float32)))
+            state = FlowUniPC.step(coef, state, flow)
+            return (cache, state), None
+
+        (cache, state), _ = jax.lax.scan(
+            body, (cache, state),
+            (self.sampler.table, self.sampler.timesteps))
+        final = state["sample"]
+
+        if not schedule.append_mode:
+            # clean-KV commit (t = 0 rerun)
+            lat2 = jnp.concatenate([final, final], 0)
+            tt = jnp.zeros((2 * B, G), jnp.float32)
+            _, cache = fps_forward_group(
+                params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
+                cache, schedule)
+        return final, cache
+
+    def _commit_group(self, schedule: GroupSchedule, params, ctx_kv2,
+                      cache, clean):
+        """t=0 context commit only (initial-latent group0 path,
+        casual_fps_inference.py:407-439)."""
+        B, G = clean.shape[0], schedule.num_frames
+        lat2 = jnp.concatenate([clean, clean], 0).astype(self.dtype)
+        tt = jnp.zeros((2 * B, G), jnp.float32)
+        _, cache = fps_forward_group(params, self.cfg, lat2, tt, ctx_kv2,
+                                     cache, schedule)
+        return cache
+
+    def _get_group_fn(self, gi: int):
+        if gi not in self._group_fns:
+            self._group_fns[gi] = jax.jit(functools.partial(
+                self._denoise_group, self.plan.groups[gi]),
+                donate_argnums=(2,))
+        return self._group_fns[gi]
+
+    def _get_commit_fn(self, gi: int):
+        if gi not in self._commit_fns:
+            self._commit_fns[gi] = jax.jit(functools.partial(
+                self._commit_group, self.plan.groups[gi]),
+                donate_argnums=(2,))
+        return self._commit_fns[gi]
+
+    # ------------------------------------------------------------------
+    # window inference
+    # ------------------------------------------------------------------
+
+    def prepare_context(self, cond_context: jnp.ndarray,
+                        uncond_context: jnp.ndarray,
+                        clip_fea: Optional[jnp.ndarray] = None):
+        """Precompute stacked per-layer cross-attn K/V for [cond; uncond]."""
+        ctx = jnp.concatenate([cond_context, uncond_context], 0)
+        emb = embed_text(self.params, ctx.astype(self.dtype))
+        img = None
+        if clip_fea is not None:
+            img = embed_image_clip(
+                self.params,
+                jnp.concatenate([clip_fea, clip_fea], 0).astype(self.dtype))
+        return precompute_context_kv(self.params, self.cfg, emb, img)
+
+    def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
+                  uncond_context: jnp.ndarray,
+                  initial_latent: Optional[jnp.ndarray] = None,
+                  rng: Optional[jax.Array] = None,
+                  on_anchor=None) -> jnp.ndarray:
+        """Denoise one window.
+
+        noise: [B, 21, C, H, W]; contexts: [B, 512, text_dim];
+        initial_latent: [B, n0, C, H, W] context frames (video extension).
+        on_anchor: optional callback fired with the handoff latents right
+        after the anchor group completes (the reference's torch.save point,
+        casual_fps_inference.py:380-383).
+        Returns the full denoised latent window [B, 21, C, H, W] (fp32).
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        B, F, C, H, W = noise.shape
+        assert F == self.plan.num_frames
+        ctx_kv2 = self.prepare_context(cond_context, uncond_context)
+        cache = init_kv_cache(self.cfg, 2 * B, H * W // 4, KV_CACHE_SLOTS,
+                              self.dtype)
+        output = jnp.zeros((B, F, C, H, W), jnp.float32)
+        zeros1 = jnp.zeros((B, 1, C, H, W), jnp.float32)
+
+        n_init = 0 if initial_latent is None else initial_latent.shape[1]
+
+        consumed = 0
+        for gi, group in enumerate(self.plan.groups):
+            frames = jnp.asarray(group.frames)
+            if n_init > 0 and consumed < n_init:
+                # context frames are committed clean, group by group
+                # (t2v group0 = 2 frames; i2v groups 0/1 = 1 frame each)
+                take = group.num_frames
+                clean = initial_latent[:, consumed:consumed + take]
+                cache = self._get_commit_fn(gi)(
+                    self.params, ctx_kv2, cache, clean.astype(jnp.float32))
+                output = output.at[:, frames].set(clean.astype(jnp.float32))
+                consumed += take
+                continue
+
+            rng, sub = jax.random.split(rng)
+            if group.reseed:
+                (p0, s0), (p1, s1) = group.reseed
+                rf = output[:, s0:s0 + 1]
+                rl = output[:, s1:s1 + 1]
+            else:
+                rf = rl = zeros1
+            latents, cache = self._get_group_fn(gi)(
+                self.params, ctx_kv2, cache, noise[:, frames], rf, rl, sub)
+            output = output.at[:, frames].set(latents)
+
+            if group.anchor_group and on_anchor is not None:
+                on_anchor(output[:, jnp.asarray(self.plan.handoff_frames)])
+
+        return output

@@ -1,0 +1,88 @@
+"""Chunk-pipelined generation over multiple (virtual) devices.
+
+Verifies the device-queue pipelining produces the same math as the
+reference's thread+file protocol, and that the causal-prefix bridge equals
+the reference's full-window decode/re-encode bridge
+(Wan_fps_inference_parallel_4gpu_20s.py:191-205).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmpl_tpu.core.config import tiny_test_config
+from mmpl_tpu.models import dit, vae
+from mmpl_tpu.parallel.chunk_pipeline import ChunkParallelPipeline, \
+    make_bridge_fn
+from helpers import randomize_head
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    vae_params = vae.init_vae_params(jax.random.PRNGKey(1), jnp.float32)
+    return cfg, params, vae_params
+
+
+def test_bridge_matches_reference_full_window(setup):
+    """Causal-prefix bridge == reference 21-frame/81-frame version."""
+    cfg, params, vae_params = setup
+    B, C, h, w = 1, 16, 4, 4
+    handoff = jax.random.normal(jax.random.PRNGKey(2), (B, 8, C, h, w))
+
+    bridge, vp = make_bridge_fn(vae_params, 8)
+    got = np.asarray(bridge(vp, handoff))
+
+    # reference formulation: full 21-frame mask, full 81-frame re-encode
+    mask = jnp.zeros((B, 21, C, h, w))
+    mask = mask.at[:, 0].set(handoff[:, 0])
+    mask = mask.at[:, 1].set(handoff[:, -2])
+    mask = mask.at[:, 2].set(handoff[:, -2])
+    mask = mask.at[:, 3].set(handoff[:, -1])
+    vid = vae.decode(vae_params, mask) * 0.5 + 0.5
+    px = jnp.zeros_like(vid)
+    px = px.at[:, :5].set(vid[:, 8:13])
+    lat = vae.encode(vae_params, px * 2.0 - 1.0)
+    want = np.asarray(lat[:, :2])
+
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    assert got.shape == (B, 2, C, h, w)
+
+
+def test_two_stage_pipelined_generation(setup):
+    cfg, params, vae_params = setup
+    devices = jax.devices()[:2]
+    assert len(devices) == 2, "conftest must provide 8 virtual CPU devices"
+
+    pipe = ChunkParallelPipeline(cfg, params, vae_params, devices=devices,
+                                 sampling_steps=2, dtype=jnp.float32)
+    B, C, h, w = 1, 16, 4, 4
+    k = jax.random.PRNGKey(3)
+    noises = [jax.random.normal(jax.random.fold_in(k, i), (B, 21, C, h, w))
+              for i in range(3)]
+    cond = jax.random.normal(jax.random.PRNGKey(4),
+                             (B, cfg.text_len, cfg.text_dim))
+    uncond = jax.random.normal(jax.random.PRNGKey(5),
+                               (B, cfg.text_len, cfg.text_dim))
+
+    chunks = pipe.generate(noises, cond, uncond, rng=jax.random.PRNGKey(6))
+    assert len(chunks) == 3
+    for c in chunks:
+        arr = np.asarray(c)
+        assert arr.shape == (B, 21, C, h, w)
+        assert np.isfinite(arr).all()
+    # chunks alternate devices (round-robin over stages)
+    d0 = next(iter(chunks[0].devices()))
+    d1 = next(iter(chunks[1].devices()))
+    d2 = next(iter(chunks[2].devices()))
+    assert d0 != d1 and d0 == d2
+    # chunk 1 must start from chunk 0's bridge: its first two frames are the
+    # committed initial latents, not denoised noise
+    c1 = np.asarray(chunks[1])
+    bridge, vp = make_bridge_fn(vae_params, 8)
+    anchors = np.asarray(chunks[0])[:, [0, 2, 3, 10, 11, 12, 19, 20]]
+    expect_init = np.asarray(bridge(vae_params, jnp.asarray(anchors)))
+    np.testing.assert_allclose(c1[:, :2], expect_init, atol=1e-4, rtol=1e-4)
