@@ -35,7 +35,8 @@ from ..core.geometry import GroupSchedule, KV_CACHE_SLOTS
 from ..ops.attention import attention
 from ..ops.rope import apply_rope, rope_table
 from .dit import (Params, block_forward, head_forward, linear, patchify,
-                  rms_norm, time_embed, unpatchify)
+                  precompute_context_kv, embed_text, rms_norm, time_embed,
+                  unpatchify)
 
 
 def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
@@ -147,3 +148,87 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
     x = head_forward(params["head"], cfg, x, e, G)
     flow = unpatchify(x, G, grid, cfg.patch_size, cfg.out_dim)
     return flow, new_cache
+
+
+def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
+                      t: jnp.ndarray, context: jnp.ndarray,
+                      frame_mask: jnp.ndarray,
+                      clean_x: Optional[jnp.ndarray] = None,
+                      aug_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Training forward with teacher forcing (no KV cache).
+
+    Re-design of CausalWanModel._forward_train / CausalFPSWanModel
+    (_forward_train, causal_fps_model.py:839-995): with `clean_x`, the token
+    sequence is [clean | noisy] with separate per-frame time embeddings
+    (aug_t for the noise-augmented clean context, causal_model.py:943-960);
+    RoPE positions repeat per half; attention is dense under the frame-level
+    boolean mask from `training.masks` (blockwise-causal, teacher-forcing or
+    fps-forcing); the head sees only the noisy half.
+
+    noisy: [B, F, C, H, W]; t/aug_t: [B, F]; context: [B, T, text_dim];
+    frame_mask: [F, F] or [2F, 2F] bool.  Returns flow [B, F, C_out, H, W].
+    """
+    B, F, C, H, W = noisy.shape
+    grid = (H // cfg.patch_size[1], W // cfg.patch_size[2])
+    S = grid[0] * grid[1]
+    n, d = cfg.num_heads, cfg.dim // cfg.num_heads
+
+    x = patchify(params["patch_embedding"], noisy, cfg.patch_size)
+    e_noisy, e0_noisy = time_embed(params, cfg, t)
+    num_seq_frames = F
+
+    if clean_x is not None:
+        xc = patchify(params["patch_embedding"], clean_x, cfg.patch_size)
+        if aug_t is None:
+            aug_t = jnp.zeros_like(t)
+        _, e0_clean = time_embed(params, cfg, aug_t)
+        x = jnp.concatenate([xc, x], axis=1)
+        e0 = jnp.concatenate([e0_clean, e0_noisy], axis=1)
+        num_seq_frames = 2 * F
+    else:
+        e0 = e0_noisy
+
+    assert frame_mask.shape == (num_seq_frames, num_seq_frames), (
+        frame_mask.shape, num_seq_frames)
+
+    cos_np, sin_np = rope_table(tuple(range(F)), grid[0], grid[1], d)
+    cos = jnp.asarray(cos_np)
+    sin = jnp.asarray(sin_np)
+    if clean_x is not None:
+        # RoPE positions repeat per half (causal_model.py:120-133)
+        cos = jnp.concatenate([cos, cos], axis=0)
+        sin = jnp.concatenate([sin, sin], axis=0)
+
+    # token-level mask [1, 1, L, L] from the frame-level pattern
+    tok_mask = jnp.repeat(jnp.repeat(jnp.asarray(frame_mask), S, axis=0),
+                          S, axis=1)[None, None]
+
+    ctx = embed_text(params, context.astype(x.dtype))
+    ctx_kv = precompute_context_kv(params, cfg, ctx)
+
+    def self_attn(sp, xm):
+        L = xm.shape[1]
+        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
+            B, L, n, d)
+        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
+            B, L, n, d)
+        v = linear(sp["v"], xm).reshape(B, L, n, d)
+        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
+        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        out = attention(q, k, v, mask=tok_mask)
+        return linear(sp["o"], out.reshape(B, L, -1))
+
+    def scan_body(x, layer_in):
+        bp, ckv = layer_in
+        x = block_forward(bp, cfg, x, e0,
+                          lambda xm: self_attn(bp["self_attn"], xm), ckv,
+                          num_seq_frames)
+        return x, None
+
+    x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
+
+    if clean_x is not None:
+        x = x[:, x.shape[1] // 2:]
+
+    x = head_forward(params["head"], cfg, x, e_noisy, F)
+    return unpatchify(x, F, grid, cfg.patch_size, cfg.out_dim)

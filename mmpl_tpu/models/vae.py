@@ -231,24 +231,20 @@ def _init_attn(key, dim, dtype) -> Params:
 def _init_block(key, spec, dtype) -> Params:
     kind, din, dout = spec
     if kind == "res":
-        return {"kind": kind, **_init_res(key, din, dout, dtype)}
+        return _init_res(key, din, dout, dtype)
     if kind == "attn":
-        return {"kind": kind, **_init_attn(key, din, dtype)}
+        return _init_attn(key, din, dtype)
     if kind == "downsample2d":
-        return {"kind": kind,
-                "resample": _init_conv2d(key, 3, 3, din, dout, dtype)}
+        return {"resample": _init_conv2d(key, 3, 3, din, dout, dtype)}
     if kind == "downsample3d":
         k1, k2 = jax.random.split(key)
-        return {"kind": kind,
-                "resample": _init_conv2d(k1, 3, 3, din, dout, dtype),
+        return {"resample": _init_conv2d(k1, 3, 3, din, dout, dtype),
                 "time_conv": _init_conv(k2, 3, 1, 1, din, din, dtype)}
     if kind == "upsample2d":
-        return {"kind": kind,
-                "resample": _init_conv2d(key, 3, 3, din, dout, dtype)}
+        return {"resample": _init_conv2d(key, 3, 3, din, dout, dtype)}
     if kind == "upsample3d":
         k1, k2 = jax.random.split(key)
-        return {"kind": kind,
-                "resample": _init_conv2d(k1, 3, 3, din, dout, dtype),
+        return {"resample": _init_conv2d(k1, 3, 3, din, dout, dtype),
                 "time_conv": _init_conv(k2, 3, 1, 1, din, din * 2, dtype)}
     raise ValueError(kind)
 
@@ -298,8 +294,7 @@ def init_vae_params(key, dtype=jnp.float32) -> Params:
 # Full-sequence encoder / decoder
 # ---------------------------------------------------------------------------
 
-def _apply_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    kind = p["kind"]
+def _apply_block(kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if kind == "res":
         return _res_block(p, x)
     if kind == "attn":
@@ -320,8 +315,8 @@ def _apply_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def encoder_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """pixels [B, T, H, W, 3] -> raw mu/logvar [B, T', H/8, W/8, 2*z]."""
     x = _conv3d(p["conv1"], x)
-    for blk in p["down"]:
-        x = _apply_block(blk, x)
+    for (kind, *_), blk in zip(encoder_specs(), p["down"]):
+        x = _apply_block(kind, blk, x)
     x = _res_block(p["middle"][0], x)
     x = _attn_block(p["middle"][1], x)
     x = _res_block(p["middle"][2], x)
@@ -335,8 +330,8 @@ def decoder_forward(p: Params, z: jnp.ndarray) -> jnp.ndarray:
     x = _res_block(p["middle"][0], x)
     x = _attn_block(p["middle"][1], x)
     x = _res_block(p["middle"][2], x)
-    for blk in p["up"]:
-        x = _apply_block(blk, x)
+    for (kind, *_), blk in zip(decoder_specs(), p["up"]):
+        x = _apply_block(kind, blk, x)
     x = jax.nn.silu(_rms_norm(p["head_norm"], x))
     return _conv3d(p["head_conv"], x)
 
@@ -458,8 +453,7 @@ def _decode_chunk(params: Params, z: jnp.ndarray, caches: List[jnp.ndarray],
     x, cs = _stream_res_block(p["middle"][2], x, [take(), take()])
     new_caches.extend(cs)
 
-    for blk in p["up"]:
-        kind = blk["kind"]
+    for (kind, *_), blk in zip(decoder_specs(), p["up"]):
         if kind == "res":
             x, cs = _stream_res_block(blk, x, [take(), take()])
             new_caches.extend(cs)

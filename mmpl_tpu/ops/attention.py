@@ -140,7 +140,7 @@ def _flash_padded(q, k, v, *, kv_len: int, block_q: int, block_k: int,
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 512, block_k: int = 2048,
                     interpret: bool = False) -> jnp.ndarray:
     """Pallas flash attention. q [B, Lq, N, D], k/v [B, Lk, N, D].
 

@@ -1,0 +1,120 @@
+"""Sequential block-causal AR sampling with 50-step UniPC + CFG.
+
+Re-design of `MMPL_t2v/pipeline/causal_diffusion_inference.py`
+(CausalDiffusionInferencePipeline): plain next-block-prediction —
+`num_frame_per_block=3` frames at a time, each block denoised by a full
+50-step UniPC loop with classifier-free guidance (separate pos/neg caches,
+here the batched cache halves), then committed clean at t=0
+(:144-208,:272-290).  This is the non-planned baseline the MMPL FPS
+pipeline improves on; per-block programs are jitted with the denoising loop
+as one `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import GroupSchedule
+from ..models.dit import embed_text, precompute_context_kv
+from ..models.fps_dit import fps_forward_group, init_kv_cache
+from ..schedulers.unipc import FlowUniPC
+from .causal_inference import block_schedule
+
+
+class CausalDiffusionInferencePipeline:
+    def __init__(self, cfg, params, sampling_steps: int = 50,
+                 timestep_shift: float = 8.0, guidance_scale: float = 5.0,
+                 num_frame_per_block: int = 3,
+                 local_attn_frames: int = 21,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.guidance_scale = float(guidance_scale)
+        self.num_frame_per_block = num_frame_per_block
+        self.local_attn_frames = local_attn_frames
+        self.dtype = dtype
+        self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift)
+        self._fns = {}
+        self._commit_fns = {}
+
+    def _denoise_block(self, schedule: GroupSchedule, params, ctx_kv2,
+                       cache, noisy):
+        B, G = noisy.shape[0], schedule.num_frames
+        state = self.sampler.init_state(noisy.astype(jnp.float32))
+
+        def body(carry, step_in):
+            cache, state = carry
+            coef, t = step_in
+            lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            tt = jnp.broadcast_to(t, (2 * B, G))
+            flow2, cache = fps_forward_group(
+                params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
+                cache, schedule)
+            cond, uncond = flow2[:B], flow2[B:]
+            flow = (uncond.astype(jnp.float32) + self.guidance_scale
+                    * (cond.astype(jnp.float32)
+                       - uncond.astype(jnp.float32)))
+            return (cache, FlowUniPC.step(coef, state, flow)), None
+
+        (cache, state), _ = jax.lax.scan(
+            body, (cache, state), (self.sampler.table,
+                                   self.sampler.timesteps))
+        final = state["sample"]
+        lat2 = jnp.concatenate([final, final], 0)
+        tt = jnp.zeros((2 * B, G), jnp.float32)
+        _, cache = fps_forward_group(params, self.cfg,
+                                     lat2.astype(self.dtype), tt, ctx_kv2,
+                                     cache, schedule)
+        return final, cache
+
+    def _commit_block(self, schedule, params, ctx_kv2, cache, clean):
+        B, G = clean.shape[0], schedule.num_frames
+        lat2 = jnp.concatenate([clean, clean], 0).astype(self.dtype)
+        tt = jnp.zeros((2 * B, G), jnp.float32)
+        _, cache = fps_forward_group(params, self.cfg, lat2, tt, ctx_kv2,
+                                     cache, schedule)
+        return cache
+
+    def _get(self, fns, fn, start, G):
+        key = (start, G)
+        if key not in fns:
+            sched = block_schedule(start, G, self.local_attn_frames)
+            fns[key] = jax.jit(functools.partial(fn, sched),
+                               donate_argnums=(2,))
+        return fns[key]
+
+    def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
+                  uncond_context: jnp.ndarray,
+                  initial_latent: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
+        B, F, C, H, W = noise.shape
+        nb = self.num_frame_per_block
+        n_init = 0 if initial_latent is None else initial_latent.shape[1]
+        ctx = jnp.concatenate([cond_context, uncond_context], 0)
+        emb = embed_text(self.params, ctx.astype(self.dtype))
+        ctx_kv2 = precompute_context_kv(self.params, self.cfg, emb)
+        cache = init_kv_cache(self.cfg, 2 * B, H * W // 4,
+                              num_slots=max(n_init + F,
+                                            self.local_attn_frames),
+                              dtype=self.dtype)
+        outputs = []
+        start = 0
+        if initial_latent is not None:
+            for s in range(0, n_init, nb):
+                g = min(nb, n_init - s)
+                fn = self._get(self._commit_fns, self._commit_block, start, g)
+                clean = initial_latent[:, s:s + g].astype(jnp.float32)
+                cache = fn(self.params, ctx_kv2, cache, clean)
+                outputs.append(clean)
+                start += g
+        for s in range(0, F, nb):
+            g = min(nb, F - s)
+            fn = self._get(self._fns, self._denoise_block, start, g)
+            x, cache = fn(self.params, ctx_kv2, cache, noise[:, s:s + g])
+            outputs.append(x)
+            start += g
+        return jnp.concatenate(outputs, axis=1)

@@ -1,0 +1,340 @@
+"""HTTP serving layer: parallel T2V/I2V generation API.
+
+Re-design of `MMPL_t2v/fastapi_parallel_t2v_server.py` (and the i2v
+variant).  Same endpoints and JSON schemas:
+
+  GET  /health                       (:690)
+  POST /parallel_text_2_video        (:701)
+  POST /parallel_i2v                 (i2v server)
+  GET/POST /status/{task_id}         (:754-756)
+  POST /openapi/task_search          (:727)
+
+FastAPI/uvicorn are not in this image, so the server is stdlib
+`http.server.ThreadingHTTPServer` with a worker thread per request's
+background generation.  Generation is delegated to a pluggable backend
+callable (`backend(prompt, num_chunks, seed) -> list[video_path]`) —
+production wires `parallel.chunk_pipeline.ChunkParallelPipeline`; tests and
+smoke mode inject stubs.  The reference's auxiliary services are preserved
+with graceful gating: prompt expansion posts to an external HTTP service
+and falls back to the original prompt on any failure (:263-296); callbacks
+POST with 3 retries (:298-360); S3 upload is replaced by a local artifact
+directory unless an uploader is injected (boto3 absent here).
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import json
+import logging
+import os
+import threading
+import traceback
+import urllib.request
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional
+
+logger = logging.getLogger("mmpl_tpu.serving")
+
+
+class TaskStatus(Enum):
+    NOT_STARTED = "0"
+    PROCESSING = "1"
+    SUCCESS = "2"
+    FAILED = "3"
+
+
+class ResponseCode(Enum):
+    SUCCESS = 10000
+    NOT_FOUND = 10404
+    SERVER_ERROR = 10903
+
+
+@dataclass
+class ParallelServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 8001
+    output_folder: str = "videos/parallel_fps"
+    use_ema: bool = False
+    num_output_frames: int = 21
+    num_chunks: int = 4
+    use_text_expansion: bool = False
+    text_expansion_url: str = ""
+    prompt_log_file: str = "prompt_extend.txt"
+    service_type: str = "parallel_t2v"
+
+
+class TaskStorage:
+    """LRU task store (fastapi_parallel_t2v_server.py:240-261)."""
+
+    def __init__(self, max_size: int = 10000):
+        self.max_size = max_size
+        self.tasks: "collections.OrderedDict[str, dict]" = \
+            collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def add_task(self, key: str, value: dict) -> None:
+        with self._lock:
+            if key in self.tasks:
+                del self.tasks[key]
+            if len(self.tasks) >= self.max_size:
+                self.tasks.popitem(last=False)
+            self.tasks[key] = value
+
+    def get_task(self, key: str) -> Optional[dict]:
+        with self._lock:
+            return self.tasks.get(key)
+
+
+class TextExpander:
+    """External prompt-expansion HTTP hook with original-prompt fallback."""
+
+    def __init__(self, url: str, log_file: str = "prompt_extend.txt"):
+        self.url = url
+        self.log_file = log_file
+
+    def expand(self, prompt: str) -> str:
+        if not self.url:
+            return prompt
+        try:
+            req = urllib.request.Request(
+                self.url, data=json.dumps({"prompt": prompt}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                expanded = json.loads(r.read())["expanded"]
+            try:
+                with open(self.log_file, "a", encoding="utf-8") as f:
+                    f.write(expanded + "\n")
+            except OSError:
+                pass
+            return expanded
+        except Exception as e:
+            logger.warning("prompt expansion failed (%s); using original", e)
+            return prompt
+
+
+class CallbackHandler:
+    """POST-with-retry result callback (:298-360)."""
+
+    @staticmethod
+    def execute_callback(callback_url: str, seqid: str, code: int,
+                         message: str, flag: int, video_urls: List[str],
+                         cover_images: List[str], text_en: str,
+                         max_retries: int = 3) -> bool:
+        if not callback_url:
+            return True
+        payload = {
+            "seqid": seqid, "code": code, "message": message, "flag": flag,
+            "data": {"video": video_urls, "cover_image": cover_images,
+                     "text_en": text_en},
+        }
+        for attempt in range(max_retries):
+            try:
+                req = urllib.request.Request(
+                    callback_url, data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=30):
+                    return True
+            except Exception as e:
+                logger.warning("callback attempt %d failed: %s",
+                               attempt + 1, e)
+        return False
+
+
+class ParallelVideoGenerationService:
+    """Task orchestration: expansion -> generation -> artifacts -> callback."""
+
+    def __init__(self, config: ParallelServerConfig,
+                 backend: Optional[Callable] = None,
+                 uploader: Optional[Callable[[str], str]] = None):
+        self.config = config
+        self.backend = backend
+        self.uploader = uploader or (lambda path: path)
+        self.task_storage = TaskStorage()
+        self.expander = TextExpander(
+            config.text_expansion_url if config.use_text_expansion else "",
+            config.prompt_log_file)
+        os.makedirs(config.output_folder, exist_ok=True)
+
+    def is_model_loaded(self) -> bool:
+        return self.backend is not None
+
+    def get_task_status(self, key: str) -> Optional[dict]:
+        return self.task_storage.get_task(key)
+
+    def _store(self, task_id: str, seqid: str, code: int, message: str,
+               flag: int, status: str, videos: List[str],
+               covers: List[str], text_en: str) -> dict:
+        rec = {
+            "task_id": task_id, "seqid": seqid, "code": code,
+            "message": message, "flag": flag, "status": status,
+            "data": {"video": videos, "cover_image": covers,
+                     "text_en": text_en},
+        }
+        self.task_storage.add_task(task_id, rec)
+        if seqid != task_id:
+            self.task_storage.add_task(seqid, rec)
+        return rec
+
+    def generate_parallel_video_task(self, request: dict,
+                                     task_id: str) -> None:
+        seqid = request.get("seqid") or task_id
+        prompt = request["prompt"]
+        try:
+            self._store(task_id, seqid, ResponseCode.SUCCESS.value,
+                        "processing", 1, TaskStatus.PROCESSING.value,
+                        [], [], prompt)
+            text = self.expander.expand(prompt) \
+                if request.get("use_expansion", False) else prompt
+            paths = self.backend(
+                prompt=text,
+                num_chunks=int(request.get("num_chunks",
+                                           self.config.num_chunks)),
+                seed=int(request.get("seed", 0)),
+                image=request.get("image"),
+            )
+            urls = [self.uploader(p) for p in paths]
+            self._store(task_id, seqid, ResponseCode.SUCCESS.value, "ok", 1,
+                        TaskStatus.SUCCESS.value, urls, [], text)
+            CallbackHandler.execute_callback(
+                request.get("callback_url"), seqid,
+                ResponseCode.SUCCESS.value, "ok", 1, urls, [], text)
+        except Exception as e:
+            logger.error("task %s failed: %s\n%s", task_id, e,
+                         traceback.format_exc())
+            self._store(task_id, seqid, ResponseCode.SERVER_ERROR.value,
+                        str(e), 0, TaskStatus.FAILED.value, [], [], prompt)
+            CallbackHandler.execute_callback(
+                request.get("callback_url"), seqid,
+                ResponseCode.SERVER_ERROR.value, str(e), 0, [], [], prompt)
+
+
+def make_handler(service: ParallelVideoGenerationService,
+                 config: ParallelServerConfig):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            logger.debug(fmt, *args)
+
+        def _send(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError:
+                return {}
+
+        def _not_found(self, ident_key, ident):
+            return {ident_key: ident, "code": ResponseCode.NOT_FOUND.value,
+                    "message": "task not found", "flag": 0,
+                    "status": "not_found",
+                    "data": {"video": [], "cover_image": [], "text_en": ""}}
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send({
+                    "status": "healthy",
+                    "model_loaded": service.is_model_loaded(),
+                    "timestamp": datetime.datetime.now().isoformat(),
+                    "service_type": config.service_type,
+                    "num_chunks": config.num_chunks,
+                })
+            elif self.path.startswith("/status/"):
+                task_id = self.path[len("/status/"):]
+                rec = service.get_task_status(task_id)
+                self._send(rec or self._not_found("task_id", task_id))
+            else:
+                self._send({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path in ("/parallel_text_2_video", "/parallel_i2v"):
+                if not service.is_model_loaded():
+                    self._send({"detail": "model not loaded"}, 503)
+                    return
+                body = self._body()
+                if "prompt" not in body:
+                    self._send({"detail": "missing required field: prompt"},
+                               422)
+                    return
+                task_id = str(uuid.uuid4())
+                seqid = body.get("seqid") or task_id
+                threading.Thread(
+                    target=service.generate_parallel_video_task,
+                    args=(body, task_id), daemon=True).start()
+                self._send({
+                    "task_id": task_id, "video_paths": [],
+                    "original_prompt": body["prompt"],
+                    "expanded_prompt": None, "seqid": seqid, "flag": 1,
+                    "status": TaskStatus.PROCESSING.value,
+                    "num_chunks": int(body.get("num_chunks",
+                                               config.num_chunks)),
+                })
+            elif self.path == "/openapi/task_search":
+                body = self._body()
+                seqid = body.get("seqid", "")
+                rec = service.get_task_status(seqid)
+                self._send(rec or self._not_found("seqid", seqid))
+            elif self.path.startswith("/status/"):
+                task_id = self.path[len("/status/"):]
+                rec = service.get_task_status(task_id)
+                self._send(rec or self._not_found("task_id", task_id))
+            else:
+                self._send({"error": "not found"}, 404)
+
+    return Handler
+
+
+def create_server(config: ParallelServerConfig,
+                  backend: Optional[Callable] = None,
+                  uploader: Optional[Callable] = None
+                  ) -> ThreadingHTTPServer:
+    service = ParallelVideoGenerationService(config, backend, uploader)
+    server = ThreadingHTTPServer((config.host, config.port),
+                                 make_handler(service, config))
+    server.service = service  # type: ignore[attr-defined]
+    return server
+
+
+def make_pipeline_backend(cfg, params, vae_params, text_encoder,
+                          config: ParallelServerConfig, devices=None):
+    """Production backend: chunk-parallel generation + per-chunk mp4s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..parallel.chunk_pipeline import ChunkParallelPipeline
+    from ..utils.video_io import write_video
+
+    pipe = ChunkParallelPipeline(cfg, params, vae_params, devices=devices)
+    neg = cfg.sample_neg_prompt
+
+    def backend(prompt: str, num_chunks: int, seed: int,
+                image=None) -> List[str]:
+        cond = text_encoder([prompt])["prompt_embeds"]
+        uncond = text_encoder([neg])["prompt_embeds"]
+        rng = jax.random.PRNGKey(seed)
+        noises = [jax.random.normal(jax.random.fold_in(rng, i),
+                                    (1, 21, 16, 60, 104))
+                  for i in range(num_chunks)]
+        chunks = pipe.generate(noises, cond, uncond, rng=rng)
+        vids = pipe.decode_chunks(chunks)
+        paths = []
+        for i, v in enumerate(vids):
+            arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
+            frames = (arr[0].transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+            out = os.path.join(config.output_folder,
+                               f"{prompt[:50]}-chunk{i + 1}-seed{seed}.mp4")
+            paths.append(write_video(out, frames, fps=16))
+        return paths
+
+    return backend

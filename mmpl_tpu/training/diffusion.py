@@ -72,11 +72,74 @@ def make_loss_fn(cfg, scheduler: FlowMatchScheduler,
     return loss_fn
 
 
+def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
+                                 frame_mask,
+                                 num_frame_per_block: int = 3,
+                                 noise_aug_max_timestep: int = 0,
+                                 cfg_dropout: float = 0.1):
+    """CausalDiffusion generator loss (model/diffusion.py:111-204).
+
+    Teacher forcing: the [clean | noisy] sequence runs under `frame_mask`
+    (typically `masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS)` — the mask
+    that trained the released checkpoints, causal_model.py:959-974), the
+    clean context optionally noise-augmented (diffusion.py:153-171), with
+     10% unconditional-context dropout (diffusion.py:174-191).
+
+    batch: {"latents" [B,F,C,H,W], "context", "uncond_context"}.
+    """
+    import jax.numpy as jnp
+    from ..models.fps_dit import fps_forward_train
+
+    mask = jnp.asarray(frame_mask)
+
+    def loss_fn(params, batch, rng):
+        x0 = batch["latents"].astype(jnp.float32)
+        B, F = x0.shape[:2]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+
+        idx = jax.random.randint(
+            k1, (B, F // num_frame_per_block), 0,
+            scheduler.timesteps.shape[0])
+        idx = jnp.repeat(idx, num_frame_per_block, axis=1)
+        t = scheduler.timesteps[idx]
+        noise = jax.random.normal(k2, x0.shape, jnp.float32)
+        noisy = scheduler.add_noise(flat(x0), flat(noise),
+                                    t.reshape(-1)).reshape(x0.shape)
+        target = noise - x0
+
+        if noise_aug_max_timestep > 0:
+            idx_aug = jax.random.randint(
+                k3, (B, F // num_frame_per_block), 0,
+                noise_aug_max_timestep)
+            idx_aug = jnp.repeat(idx_aug, num_frame_per_block, axis=1)
+            aug_t = scheduler.timesteps[idx_aug]
+            clean_aug = scheduler.add_noise(
+                flat(x0), flat(noise), aug_t.reshape(-1)).reshape(x0.shape)
+        else:
+            clean_aug, aug_t = x0, jnp.zeros_like(t)
+
+        # single-coin CFG dropout per step (diffusion.py:176)
+        drop = jax.random.uniform(k4, ()) <= cfg_dropout
+        ctx = jnp.where(drop, batch["uncond_context"], batch["context"])
+
+        flow = fps_forward_train(params, cfg, noisy.astype(x0.dtype), t,
+                                 ctx, mask, clean_x=clean_aug,
+                                 aug_t=aug_t)
+        err = jnp.mean((flow.astype(jnp.float32) - target) ** 2,
+                       axis=(2, 3, 4))
+        w = scheduler.training_weight(t).reshape(B, F)
+        return jnp.mean(err * w)
+
+    return loss_fn
+
+
 class DiffusionTrainer:
     """Sharded trainer: params over (fsdp, tp), batch over dp."""
 
     def __init__(self, cfg, params, mesh=None, learning_rate: float = 1e-5,
-                 weight_decay: float = 0.01, timestep_shift: float = 8.0):
+                 weight_decay: float = 0.01, timestep_shift: float = 8.0,
+                 loss_fn=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scheduler = FlowMatchScheduler(
@@ -89,7 +152,8 @@ class DiffusionTrainer:
         self.opt_state = jax.jit(
             self.tx.init,
             out_shardings=self._opt_shardings(params))(self.params)
-        self._loss_fn = make_loss_fn(cfg, self.scheduler)
+        self._loss_fn = loss_fn if loss_fn is not None else make_loss_fn(
+            cfg, self.scheduler)
         self._step = self._build_step()
 
     def _opt_shardings(self, params):

@@ -1,0 +1,230 @@
+"""Distillation objectives: DMD, SiD, CausVid, ODE regression.
+
+Re-design of `MMPL_t2v/model/{dmd,sid,causvid,ode_regression}.py` as pure
+jittable loss functions over a model bundle:
+
+  models = {"generator": causal-DiT params,
+            "fake_score": bidirectional-DiT params,
+            "real_score": bidirectional-DiT params (frozen teacher)}
+
+The generator rollout comes from `SelfForcingRollout`; the scores are the
+bidirectional Wan DiT (model/base.py:26-46 instantiates them non-causal).
+All losses take (models, batch, rng) and return (loss, log_dict).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.dit import dit_forward
+from ..schedulers.flow_match import FlowMatchScheduler
+from .self_forcing import SelfForcingRollout
+
+
+def shift_timestep(t: jnp.ndarray, shift: float) -> jnp.ndarray:
+    """The score-timestep warp (dmd.py:167-171): t' = s*t/(1+(s-1)*t/1000)."""
+    if shift <= 1:
+        return t
+    tn = t / 1000.0
+    return shift * tn / (1 + (shift - 1) * tn) * 1000.0
+
+
+def _flat(a):
+    return a.reshape((-1,) + a.shape[2:])
+
+
+class DistillationConfig:
+    def __init__(self, real_guidance_scale: float = 5.0,
+                 fake_guidance_scale: float = 0.0,
+                 timestep_shift: float = 8.0,
+                 min_step: float = 20.0, max_step: float = 980.0,
+                 min_score_timestep: int = 0,
+                 num_train_timestep: int = 1000,
+                 ts_schedule: bool = True, ts_schedule_max: bool = False,
+                 sid_alpha: float = 1.0,
+                 dtype=jnp.float32):
+        self.real_guidance_scale = real_guidance_scale
+        self.fake_guidance_scale = fake_guidance_scale
+        self.timestep_shift = timestep_shift
+        self.min_step = min_step
+        self.max_step = max_step
+        self.min_score_timestep = min_score_timestep
+        self.num_train_timestep = num_train_timestep
+        self.ts_schedule = ts_schedule
+        self.ts_schedule_max = ts_schedule_max
+        self.sid_alpha = sid_alpha
+        self.dtype = dtype
+
+
+class Distiller:
+    """Shared machinery for the DMD/SiD/CausVid family."""
+
+    def __init__(self, model_cfg, dcfg: DistillationConfig,
+                 rollout: SelfForcingRollout,
+                 scheduler: FlowMatchScheduler):
+        self.model_cfg = model_cfg
+        self.dcfg = dcfg
+        self.rollout = rollout
+        self.scheduler = scheduler
+
+    # -- score model helpers ------------------------------------------------
+
+    def score_x0(self, params, xt, t, ctx):
+        """Bidirectional score forward -> x0 prediction ([B,F,...], t [B,F])."""
+        flow = dit_forward(params, self.model_cfg,
+                           xt.astype(self.dcfg.dtype), t, ctx)
+        x0 = self.scheduler.convert_flow_pred_to_x0(
+            _flat(flow).astype(jnp.float32), _flat(xt.astype(jnp.float32)),
+            t.reshape(-1)).reshape(xt.shape)
+        return x0
+
+    def _score_timestep(self, rng, B, F, t_from, t_to):
+        d = self.dcfg
+        min_t = jnp.asarray(
+            t_to if (d.ts_schedule and t_to is not None)
+            else d.min_score_timestep, jnp.float32)
+        max_t = jnp.asarray(
+            t_from if (d.ts_schedule_max and t_from is not None)
+            else d.num_train_timestep, jnp.float32)
+        u = jax.random.uniform(rng, (B, 1))
+        t = min_t + u * jnp.maximum(max_t - min_t, 1.0)
+        t = jnp.broadcast_to(t, (B, F))          # uniform across frames
+        t = shift_timestep(t, d.timestep_shift)
+        return jnp.clip(t, d.min_step, d.max_step)
+
+    def kl_grad(self, models, noisy, x0_est, t, ctx, uncond_ctx,
+                normalization: bool = True):
+        """DMD KL gradient (dmd.py:47-126 / causvid.py:47-120)."""
+        d = self.dcfg
+        fake = self.score_x0(models["fake_score"], noisy, t, ctx)
+        if d.fake_guidance_scale != 0.0:
+            fake_u = self.score_x0(models["fake_score"], noisy, t,
+                                   uncond_ctx)
+            fake = fake + (fake - fake_u) * d.fake_guidance_scale
+        real_c = self.score_x0(models["real_score"], noisy, t, ctx)
+        real_u = self.score_x0(models["real_score"], noisy, t, uncond_ctx)
+        real = real_c + (real_c - real_u) * d.real_guidance_scale
+
+        grad = fake - real
+        if normalization:
+            p_real = x0_est - real
+            normalizer = jnp.mean(jnp.abs(p_real), axis=(1, 2, 3, 4),
+                                  keepdims=True)
+            grad = grad / normalizer
+        grad = jnp.nan_to_num(grad)
+        return grad, real
+
+    def _rollout(self, models, batch, rng):
+        r1, r2 = jax.random.split(rng)
+        nb = batch["noise"].shape[1] // self.rollout.num_frame_per_block
+        flags = self.rollout.sample_exit_flags(r1, nb)
+        return self.rollout.rollout(
+            models["generator"], batch["ctx_kv"], batch["noise"], flags, r2,
+            initial_latent=batch.get("initial_latent"))
+
+    # -- losses -------------------------------------------------------------
+
+    def dmd_generator_loss(self, models, batch, rng):
+        """model/dmd.py:128-235."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x0, t_from, t_to = self._rollout(models, batch, r1)
+        B, F = x0.shape[:2]
+        t = self._score_timestep(r2, B, F, t_from, t_to)
+        noise = jax.random.normal(r3, x0.shape, jnp.float32)
+        sg = jax.lax.stop_gradient
+        noisy = self.scheduler.add_noise(_flat(sg(x0)), _flat(noise),
+                                         t.reshape(-1)).reshape(x0.shape)
+        grad, _ = self.kl_grad(models, sg(noisy), sg(x0), t,
+                               batch["context"], batch["uncond_context"])
+        target = sg(x0 - grad)
+        loss = 0.5 * jnp.mean((x0 - target) ** 2)
+        return loss, {"dmd_grad_norm": jnp.mean(jnp.abs(grad))}
+
+    def sid_generator_loss(self, models, batch, rng):
+        """model/sid.py:47-145 (Score identity Distillation)."""
+        d = self.dcfg
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x0, t_from, t_to = self._rollout(models, batch, r1)
+        B, F = x0.shape[:2]
+        t = self._score_timestep(r2, B, F, t_from, t_to)
+        noise = jax.random.normal(r3, x0.shape, jnp.float32)
+        noisy = self.scheduler.add_noise(_flat(x0), _flat(noise),
+                                         t.reshape(-1)).reshape(x0.shape)
+        fake = self.score_x0(models["fake_score"], noisy, t,
+                             batch["context"])
+        real_c = self.score_x0(models["real_score"], noisy, t,
+                               batch["context"])
+        real_u = self.score_x0(models["real_score"], noisy, t,
+                               batch["uncond_context"])
+        real = real_c + (real_c - real_u) * d.real_guidance_scale
+        sid = (real - fake) * ((real - x0) - d.sid_alpha * (real - fake))
+        normalizer = jax.lax.stop_gradient(
+            jnp.mean(jnp.abs(x0 - real), axis=(1, 2, 3, 4), keepdims=True))
+        loss = jnp.mean(jnp.nan_to_num(sid / normalizer))
+        return loss, {"timestep": jnp.mean(t)}
+
+    # CausVid shares the DMD generator loss shape with optional fake-score
+    # CFG (causvid.py:47-119); expose it by name for config parity.
+    causvid_generator_loss = dmd_generator_loss
+
+    def critic_loss(self, models, batch, rng):
+        """Fake-score denoising loss on generator rollouts (dmd.py:237-332),
+        flow variant (`denoising_loss_type: flow`, utils/loss.py:61-78)."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x0, t_from, t_to = self._rollout(models, batch, r1)
+        x0 = jax.lax.stop_gradient(x0)
+        B, F = x0.shape[:2]
+        t = self._score_timestep(r2, B, F, t_from, t_to)
+        noise = jax.random.normal(r3, x0.shape, jnp.float32)
+        noisy = self.scheduler.add_noise(_flat(x0), _flat(noise),
+                                         t.reshape(-1)).reshape(x0.shape)
+        pred_x0 = self.score_x0(models["fake_score"], noisy, t,
+                                batch["context"])
+        flow_pred = self.scheduler.convert_x0_to_flow_pred(
+            _flat(pred_x0), _flat(noisy), t.reshape(-1))
+        flow_target = _flat(noise - x0)
+        loss = jnp.mean((flow_pred - flow_target) ** 2)
+        return loss, {"critic_timestep": jnp.mean(t)}
+
+
+def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
+                        batch, rng, dtype=jnp.float32):
+    """model/ode_regression.py:9-138: regress the causal generator onto
+    precomputed ODE-solver trajectories (CausVid §4.3).
+
+    batch: {"noisy_input" [B,F,C,H,W] (a solver state at `timestep`),
+            "clean_latent" [B,F,C,H,W] (the trajectory endpoint),
+            "timestep" [B,F], "ctx_kv"}.
+    """
+    from ..models.fps_dit import fps_forward_group, init_kv_cache
+    from ..pipelines.causal_inference import block_schedule
+
+    noisy = batch["noisy_input"].astype(jnp.float32)
+    target = batch["clean_latent"].astype(jnp.float32)
+    t = batch["timestep"].astype(jnp.float32)
+    B, F = noisy.shape[:2]
+    nb = 3
+    cache = init_kv_cache(cfg, B, noisy.shape[3] * noisy.shape[4] // 4,
+                          num_slots=max(F, 21), dtype=dtype)
+    preds = []
+    for b in range(F // nb):
+        sched = block_schedule(b * nb, nb, 21)
+        x = noisy[:, b * nb:(b + 1) * nb]
+        tt = t[:, b * nb:(b + 1) * nb]
+        flow, cache = fps_forward_group(
+            generator_params, cfg, x.astype(dtype), tt, batch["ctx_kv"],
+            cache, sched)
+        x0 = scheduler.convert_flow_pred_to_x0(
+            _flat(flow).astype(jnp.float32), _flat(x),
+            tt.reshape(-1)).reshape(x.shape)
+        preds.append(x0)
+        # commit the *target* clean frames as context (ode_regression.py)
+        clean = target[:, b * nb:(b + 1) * nb]
+        _, cache = fps_forward_group(
+            generator_params, cfg, clean.astype(dtype),
+            jnp.zeros_like(tt), batch["ctx_kv"], cache, sched)
+    pred = jnp.concatenate(preds, axis=1)
+    return jnp.mean((pred - target) ** 2), {"pred": pred}

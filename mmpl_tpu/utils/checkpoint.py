@@ -284,7 +284,7 @@ def _attn_p(sd, pre, dtype) -> Params:
 
 
 def _resample_p(sd, pre, kind, dtype) -> Params:
-    p = {"kind": kind, "resample": _conv2d_p(sd, f"{pre}.resample.1", dtype)}
+    p = {"resample": _conv2d_p(sd, f"{pre}.resample.1", dtype)}
     if kind in ("downsample3d", "upsample3d"):
         p["time_conv"] = _conv3d_p(sd, f"{pre}.time_conv", dtype)
     return p
@@ -299,9 +299,9 @@ def convert_vae(sd: Dict[str, np.ndarray], dtype=np.float32) -> Params:
         for i, (kind, *_dims) in enumerate(specs):
             pre = f"{prefix}.{i}"
             if kind == "res":
-                out.append({"kind": "res", **_res_p(sd, pre, dtype)})
+                out.append(_res_p(sd, pre, dtype))
             elif kind == "attn":
-                out.append({"kind": "attn", **_attn_p(sd, pre, dtype)})
+                out.append(_attn_p(sd, pre, dtype))
             else:
                 out.append(_resample_p(sd, pre, kind, dtype))
         return out

@@ -1,0 +1,49 @@
+"""Mesh/sharding + sequence-parallel teacher path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from mmpl_tpu.core.config import tiny_test_config
+from mmpl_tpu.models import dit
+from mmpl_tpu.parallel.mesh import dit_param_shardings, make_mesh
+from mmpl_tpu.parallel.sequence_parallel import usp_dit_forward
+from helpers import randomize_head
+
+
+def test_make_mesh_default():
+    mesh = make_mesh()
+    assert set(mesh.shape.keys()) == {"dp", "fsdp", "tp"}
+    assert np.prod(list(mesh.shape.values())) == len(jax.devices())
+
+
+def test_param_shardings_divisibility():
+    cfg = tiny_test_config()
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    sh = dit_param_shardings(mesh, params)
+    # every sharding must evenly divide its leaf
+    def check(leaf, s):
+        spec = s.spec
+        for i, ax in enumerate(spec):
+            if ax is not None:
+                assert leaf.shape[i] % mesh.shape[ax] == 0
+    jax.tree.map(check, params, sh)
+
+
+def test_usp_forward_matches_single_device():
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    mesh = make_mesh({"sp": 2})
+    B, F, C, H, W = 1, 3, 16, 8, 8   # L = 3*16 = 48, sp=2 -> 24/shard
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, F, C, H, W))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, cfg.text_len, cfg.text_dim))
+
+    want = np.asarray(dit.dit_forward(params, cfg, lat, t, ctx))
+    got = np.asarray(usp_dit_forward(params, cfg, lat, t, ctx, mesh))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

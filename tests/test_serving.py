@@ -1,0 +1,133 @@
+"""Serving API: real HTTP round-trips against the reference's schema.
+
+Mirrors the reference smoke tests (`test_parallel_t2v_simple.py`,
+`test_parallel_t2v.py`): POST a request, poll both status endpoints.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from mmpl_tpu.serving.server import (ParallelServerConfig, TaskStatus,
+                                     create_server)
+
+
+@pytest.fixture()
+def server(tmp_path):
+    done = threading.Event()
+
+    def backend(prompt, num_chunks, seed, image=None):
+        paths = []
+        for i in range(num_chunks):
+            p = tmp_path / f"chunk{i}.mp4"
+            p.write_bytes(b"fake")
+            paths.append(str(p))
+        done.set()
+        return paths
+
+    cfg = ParallelServerConfig(host="127.0.0.1", port=0,
+                               output_folder=str(tmp_path))
+    srv = create_server(cfg, backend=backend)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, srv.server_address[1], done
+    srv.shutdown()
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health(server):
+    _, port, _ = server
+    status, body = _get(port, "/health")
+    assert status == 200
+    assert body["status"] == "healthy"
+    assert body["model_loaded"] is True
+    assert body["service_type"] == "parallel_t2v"
+
+
+def test_generate_and_poll(server):
+    _, port, done = server
+    status, body = _post(port, "/parallel_text_2_video",
+                         {"prompt": "a red fox", "num_chunks": 2,
+                          "seed": 7, "seqid": "myseq"})
+    assert status == 200
+    assert body["status"] == TaskStatus.PROCESSING.value
+    assert body["seqid"] == "myseq"
+    task_id = body["task_id"]
+
+    assert done.wait(timeout=10)
+    deadline = time.time() + 10
+    rec = None
+    while time.time() < deadline:
+        _, rec = _get(port, f"/status/{task_id}")
+        if rec.get("status") == TaskStatus.SUCCESS.value:
+            break
+        time.sleep(0.1)
+    assert rec["status"] == TaskStatus.SUCCESS.value
+    assert len(rec["data"]["video"]) == 2
+    assert rec["data"]["text_en"] == "a red fox"
+
+    # the openapi search endpoint resolves by seqid
+    _, rec2 = _post(port, "/openapi/task_search", {"seqid": "myseq"})
+    assert rec2["status"] == TaskStatus.SUCCESS.value
+    assert rec2["data"]["video"] == rec["data"]["video"]
+
+
+def test_unknown_task_and_missing_prompt(server):
+    _, port, _ = server
+    _, rec = _get(port, "/status/nope")
+    assert rec["code"] == 10404
+    assert rec["status"] == "not_found"
+    status, rec = _post(port, "/openapi/task_search", {"seqid": "ghost"})
+    assert rec["code"] == 10404
+    # missing prompt -> 422 like fastapi validation
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/parallel_text_2_video",
+        data=json.dumps({"num_chunks": 1}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+
+
+def test_failed_backend_reports_failure(tmp_path):
+    def backend(prompt, num_chunks, seed, image=None):
+        raise RuntimeError("chip on fire")
+
+    cfg = ParallelServerConfig(host="127.0.0.1", port=0,
+                               output_folder=str(tmp_path))
+    srv = create_server(cfg, backend=backend)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        _, body = _post(port, "/parallel_text_2_video", {"prompt": "x"})
+        deadline = time.time() + 10
+        rec = None
+        while time.time() < deadline:
+            _, rec = _get(port, f"/status/{body['task_id']}")
+            if rec.get("status") in (TaskStatus.FAILED.value,):
+                break
+            time.sleep(0.1)
+        assert rec["status"] == TaskStatus.FAILED.value
+        assert "chip on fire" in rec["message"]
+        assert rec["code"] == 10903
+    finally:
+        srv.shutdown()

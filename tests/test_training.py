@@ -1,0 +1,221 @@
+"""Training stack: masks vs reference rules, TF forward causality,
+self-forcing rollout, and distillation loss smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmpl_tpu.core.config import tiny_test_config
+from mmpl_tpu.core.geometry import T2V_CLEAN_STEPS
+from mmpl_tpu.models import dit
+from mmpl_tpu.models.fps_dit import fps_forward_train
+from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+from mmpl_tpu.training import masks
+from mmpl_tpu.training.diffusion import make_teacher_forcing_loss_fn
+from mmpl_tpu.training.self_forcing import SelfForcingRollout
+from helpers import randomize_head
+
+
+# ---------------------------------------------------------------------------
+# Masks
+# ---------------------------------------------------------------------------
+
+def reference_fps_forcing_token_mask(clean_steps, frame_seqlen):
+    """Direct transcription of causal_model.py:620-709's token-level rules."""
+    F = len(clean_steps)
+    L = 2 * F * frame_seqlen
+    step_id = np.zeros(L, np.int64)
+    region_id = np.zeros(L, np.int64)
+    for f in range(F):
+        s, e = f * frame_seqlen, (f + 1) * frame_seqlen
+        step_id[s:e] = clean_steps[f]
+        region_id[s:e] = 0
+        off = F * frame_seqlen
+        step_id[off + s:off + e] = clean_steps[f]
+        region_id[off + s:off + e] = 1
+    q = np.arange(L)[:, None]
+    kv = np.arange(L)[None, :]
+    qs, ks = step_id[:, None], step_id[None, :]
+    qr, kr = region_id[:, None], region_id[None, :]
+    eye = q == kv
+    clean_rule = (qr == 0) & (kr == 0) & (ks <= qs)
+    noise_rule = (qr == 1) & (((kr == 1) & (ks == qs)) |
+                              ((kr == 0) & (ks < qs)))
+    last_two = (kv >= 19 * frame_seqlen) & (kv < 21 * frame_seqlen)
+    blocking = (qs == 2) & last_two
+    return (eye | clean_rule | noise_rule) & ~blocking
+
+
+def test_fps_forcing_mask_matches_reference_rules():
+    S = 2
+    frame = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS)
+    got = masks.expand_frame_mask(frame, S)
+    want = reference_fps_forcing_token_mask(list(T2V_CLEAN_STEPS), S)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blockwise_causal_mask():
+    m = masks.blockwise_causal_frame_mask(6, num_frame_per_block=3)
+    # frame 0 sees its whole block (0..2), not block 2
+    assert m[0, :3].all() and not m[0, 3:].any()
+    assert m[5].all()
+    m_loc = masks.blockwise_causal_frame_mask(9, 3, local_attn_frames=3)
+    assert not m_loc[8, 0]      # outside the local window
+    assert m_loc[8, 6:9].all()
+    m_i2v = masks.blockwise_causal_frame_mask(7, 3,
+                                              independent_first_frame=True)
+    assert m_i2v[0, 0] and not m_i2v[0, 1:].any()
+    assert m_i2v[1, :4].all() and not m_i2v[1, 4:].any()
+
+
+def test_teacher_forcing_mask():
+    F = 6
+    m = masks.teacher_forcing_frame_mask(F, 3)
+    # clean block-causal
+    assert m[0, :3].all() and not m[0, 3:F].any()
+    # noisy sees own noisy block + previous clean blocks only
+    q = F + 3  # noisy frame 3 (block 1)
+    assert m[q, F + 3:F + 6].all()       # own noisy block
+    assert m[q, :3].all()                # previous clean block
+    assert not m[q, 3:6].any()           # own clean block blocked
+    assert not m[q, F:F + 3].any()       # earlier noisy block blocked
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forcing forward
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tf_setup():
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.text_len, cfg.text_dim))
+    return cfg, params, ctx
+
+
+def test_fps_forward_train_anchor_blinding(tf_setup):
+    """With ONE transformer layer (no indirect mixing through other clean
+    frames — the multi-layer leakage via step-1 clean frames exists in the
+    reference too), perturbing clean frame 19 must not change step-2 noisy
+    outputs (frames 4..9, the anchor-blinding rule) but must change step-3
+    outputs (frames 13..18)."""
+    cfg, params, ctx = tf_setup
+    import copy
+    cfg1 = copy.deepcopy(cfg)
+    cfg1.num_layers = 1
+    params1 = jax.tree.map(lambda a: a, params)
+    params1["blocks"] = jax.tree.map(lambda a: a[:1], params["blocks"])
+
+    F, C, H, W = 21, 16, 4, 4
+    fm = jnp.asarray(masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS))
+    key = jax.random.PRNGKey(2)
+    noisy = jax.random.normal(key, (1, F, C, H, W))
+    clean = jax.random.normal(jax.random.PRNGKey(3), (1, F, C, H, W))
+    t = jnp.full((1, F), 400.0)
+    aug = jnp.zeros((1, F))
+
+    out_a = np.asarray(fps_forward_train(params1, cfg1, noisy, t, ctx, fm,
+                                         clean_x=clean, aug_t=aug))
+    clean_b = clean.at[:, 19].add(3.0)
+    out_b = np.asarray(fps_forward_train(params1, cfg1, noisy, t, ctx, fm,
+                                         clean_x=clean_b, aug_t=aug))
+    step2 = [4, 5, 6, 7, 8, 9]
+    step3 = [13, 14, 15, 16, 17, 18]
+    np.testing.assert_allclose(out_a[:, step2], out_b[:, step2], atol=2e-5)
+    assert np.abs(out_a[:, step3] - out_b[:, step3]).max() > 1e-4
+    # clean frames 0/1 (steps 0/1 with step < 2) likewise cannot be blinded:
+    # step-2 queries still see them
+    clean_c = clean.at[:, 0].add(3.0)
+    out_c = np.asarray(fps_forward_train(params1, cfg1, noisy, t, ctx, fm,
+                                         clean_x=clean_c, aug_t=aug))
+    assert np.abs(out_a[:, step2] - out_c[:, step2]).max() > 1e-4
+
+
+def test_teacher_forcing_loss(tf_setup):
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS)
+    loss_fn = make_teacher_forcing_loss_fn(cfg, sch, fm,
+                                           num_frame_per_block=3,
+                                           noise_aug_max_timestep=100)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(4),
+                                     (1, 21, 16, 4, 4)),
+        "context": ctx,
+        "uncond_context": jnp.zeros_like(ctx),
+    }
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch,
+                                              jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+# ---------------------------------------------------------------------------
+# Self-forcing rollout
+# ---------------------------------------------------------------------------
+
+def test_self_forcing_rollout(tf_setup):
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000, 500),
+                            num_frame_per_block=3, num_max_frames=6,
+                            grad_frame_window=6)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 16, 4, 4))
+    flags = jnp.asarray([1, 1], jnp.int32)
+
+    out, t_from, t_to = ro.rollout(params, ctx_kv, noise, flags,
+                                   jax.random.PRNGKey(7))
+    assert out.shape == (1, 6, 16, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # exit flag changes the result (different step's x0 selected)
+    out0, _, _ = ro.rollout(params, ctx_kv, noise,
+                            jnp.asarray([0, 0], jnp.int32),
+                            jax.random.PRNGKey(7))
+    assert np.abs(np.asarray(out) - np.asarray(out0)).max() > 1e-5
+
+    # gradient flows from the rollout into the generator params
+    def loss(p):
+        o, _, _ = ro.rollout(p, ctx_kv, noise, flags, jax.random.PRNGKey(7))
+        return jnp.mean(o ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree.reduce(lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+                            g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dmd_losses_smoke(tf_setup):
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000, 500),
+                            num_frame_per_block=3, num_max_frames=6,
+                            grad_frame_window=6)
+    dc = DistillationConfig(dtype=jnp.float32)
+    dist = Distiller(cfg, dc, ro, sch)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    models = {"generator": params,
+              "fake_score": randomize_head(dit.init_dit_params(
+                  jax.random.PRNGKey(10), cfg, jnp.float32)),
+              "real_score": randomize_head(dit.init_dit_params(
+                  jax.random.PRNGKey(11), cfg, jnp.float32))}
+    batch = {"noise": jax.random.normal(jax.random.PRNGKey(8),
+                                        (1, 6, 16, 4, 4)),
+             "ctx_kv": ctx_kv, "context": ctx,
+             "uncond_context": jnp.zeros_like(ctx)}
+    for name in ("dmd_generator_loss", "sid_generator_loss", "critic_loss"):
+        loss, logd = getattr(dist, name)(models, batch,
+                                         jax.random.PRNGKey(9))
+        assert np.isfinite(float(loss)), name
