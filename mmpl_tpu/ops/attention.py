@@ -203,3 +203,146 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return flash_attention(q, k, v, scale=scale,
                                interpret=not on_tpu)
     return dense_attention(q, k, v, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Frame-masked Pallas flash attention (training masks)
+# ---------------------------------------------------------------------------
+#
+# The reference runs its training masks through torch FlexAttention
+# block-sparse kernels (causal_fps_model.py:24-25,155-191).  Our training
+# masks are *frame-granular* (training/masks.py): every token carries a
+# frame id and admissibility is a small [F, F] boolean table.  Inside the
+# kernel the per-tile mask is reconstructed with two tiny MXU matmuls:
+#     allowed = onehot(qf) @ frame_mask @ onehot(kf)^T
+# which avoids unsupported vector gathers and costs O(BQ*F*BK) MACs with
+# F <= ~64.
+
+def _masked_flash_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref, o_ref,
+                         m_scr, l_scr, acc_scr, *, block_k: int,
+                         scale: float, num_frames_padded: int):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [BQ, BK]
+
+    Fp = num_frames_padded
+    qf = qf_ref[0]                                       # [BQ] int32
+    kf = kf_ref[0]                                       # [BK] int32
+    oh_q = (jax.lax.broadcasted_iota(jnp.int32, (qf.shape[0], Fp), 1)
+            == qf[:, None]).astype(jnp.float32)          # [BQ, Fp]
+    oh_k = (jax.lax.broadcasted_iota(jnp.int32, (kf.shape[0], Fp), 1)
+            == kf[:, None]).astype(jnp.float32)          # [BK, Fp]
+    qrow = jax.lax.dot_general(
+        oh_q, fm_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [BQ, Fp]
+    allowed = jax.lax.dot_general(
+        qrow, oh_k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [BQ, BK]
+    s = jnp.where(allowed > 0.5, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # rows with every key masked so far keep m = NEG_INF; clamp the softmax
+    # shift so those rows stay exactly zero instead of exp(0)
+    shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+    p = jnp.where(allowed > 0.5, jnp.exp(s - shift), 0.0)
+
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           q_frame_ids, kv_frame_ids, frame_mask,
+                           scale: Optional[float] = None,
+                           block_q: int = 512, block_k: int = 1024,
+                           interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Flash attention under a frame-granular boolean mask.
+
+    q [B, Lq, N, D]; frame ids are per-token int arrays; frame_mask [F, F]
+    bool (True = attend).  Padding tokens are assigned a dedicated padding
+    frame whose mask row/column is all-False.
+    """
+    import numpy as np
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    fm = np.asarray(frame_mask)
+    F = fm.shape[0]
+    Fp = max(128, -(-F // 128) * 128)      # lane-pad the tiny table
+    fm_p = np.zeros((Fp, Fp), np.float32)
+    fm_p[:F, :F] = fm.astype(np.float32)   # padding frame rows stay 0
+
+    qf = np.full(-(-Lq // block_q) * block_q, F, np.int32)
+    qf[:Lq] = np.asarray(q_frame_ids, np.int32)
+    kf = np.full(-(-Lk // block_k) * block_k, F, np.int32)
+    kf[:Lk] = np.asarray(kv_frame_ids, np.int32)
+    Lqp, Lkp = len(qf), len(kf)
+    qf = qf.reshape(-1, block_q)           # [n_qblocks, BQ] (2-D for TPU)
+    kf = kf.reshape(-1, block_k)
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if Lqp != Lq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Lqp - Lq), (0, 0)))
+    if Lkp != Lk:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
+
+    grid = (B, N, Lqp // block_q, Lkp // block_k)
+    kernel = functools.partial(_masked_flash_kernel, block_k=block_k,
+                               scale=scale, num_frames_padded=Fp)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, n, qi, ki: (qi, 0)),
+            pl.BlockSpec((1, block_k), lambda b, n, qi, ki: (ki, 0)),
+            pl.BlockSpec((Fp, Fp), lambda b, n, qi, ki: (0, 0)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, n, qi, ki: (b, n, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, n, qi, ki: (b, n, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(fm_p), qt, kt, vt)
+    if Lqp != Lq:
+        out = out[:, :, :Lq]
+    return jnp.swapaxes(out, 1, 2)

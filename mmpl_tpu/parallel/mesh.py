@@ -33,8 +33,9 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
         dp = n // fsdp
         shape = {"dp": dp, "fsdp": fsdp, "tp": 1}
     sizes = tuple(shape.values())
-    assert math.prod(sizes) == n, (shape, n)
-    arr = np.asarray(devices).reshape(sizes)
+    need = math.prod(sizes)
+    assert need <= n, (shape, n)
+    arr = np.asarray(devices[:need]).reshape(sizes)
     return Mesh(arr, tuple(shape.keys()))
 
 

@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.dit import (Params, cross_attention, embed_text, layer_norm,
                           linear, mlp, patchify, precompute_context_kv,
@@ -128,7 +128,6 @@ def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
         in_specs=(P(None, sp_axis, None), P(), P(), P(sp_axis), P(sp_axis),
                   P(), P(), P()),
         out_specs=P(None, sp_axis, None),
-        check_vma=False,
     )
     out_tokens = sharded(x, e, e0, cos, sin, params["blocks"], ctx_kv,
                          params["head"])

@@ -1,0 +1,182 @@
+"""Aux components: DPM solver, TAEHV, CLIP, datasets, EMA, profiling."""
+
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmpl_tpu.schedulers.dpm_solver import FlowDPMSolver, get_sampling_sigmas
+from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+
+
+class TestDPMSolver:
+    def test_sampling_sigmas(self):
+        s = get_sampling_sigmas(50, 8.0)
+        assert s.shape == (50,)
+        assert s[0] == pytest.approx(1.0)
+        assert np.all(np.diff(s) < 0)
+
+    def test_converges_on_exact_flow(self):
+        solver = FlowDPMSolver(50, shift=8.0)
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((2, 4))
+        noise = rng.standard_normal((2, 4))
+        flow = jnp.asarray(noise - x0)
+        state = solver.init_state(jnp.asarray(noise))
+        for i in range(solver.num_steps):
+            coef = {k: v[i] for k, v in solver.table.items()}
+            state = FlowDPMSolver.step(coef, state, flow)
+        np.testing.assert_allclose(np.asarray(state["sample"]), x0,
+                                   atol=2e-3)
+
+    def test_order2_beats_order1_on_curved_flow(self):
+        """The multistep correction must help on a non-constant field."""
+        def run(num_steps):
+            solver = FlowDPMSolver(num_steps, shift=3.0)
+            x = jnp.asarray([[1.0]])
+            state = solver.init_state(x)
+            for i in range(num_steps):
+                sigma = float(solver.table["sigma_cur"][i])
+                # a flow field that depends on sigma (curved trajectory)
+                flow = state["sample"] * (0.5 + sigma)
+                coef = {k: v[i] for k, v in solver.table.items()}
+                state = FlowDPMSolver.step(coef, state, flow)
+            return float(state["sample"][0, 0])
+        coarse, fine = run(10), run(80)
+        assert abs(coarse - fine) < 0.1 * max(abs(fine), 1e-3) + 0.05
+
+
+class TestTAEHV:
+    def test_shapes_roundtrip(self):
+        from mmpl_tpu.models import taehv
+        params = taehv.init_taehv_params(jax.random.PRNGKey(0))
+        video = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 3, 32, 32))
+        lat = taehv.taehv_encode(params, video)
+        assert lat.shape == (1, 2, 16, 4, 4)     # T/4, H/8, W/8
+        out = taehv.taehv_decode(params, lat, trim=False)
+        assert out.shape == (1, 8, 3, 32, 32)
+        out_t = taehv.taehv_decode(params, lat)
+        assert out_t.shape == (1, 5, 3, 32, 32)  # trims 3 warmup frames
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_checkpoint_mapping(self):
+        import torch
+        from mmpl_tpu.models import taehv
+        # synthesise a torch-layout state dict via shape introspection
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def add_conv(name, cin, cout, k, bias):
+            sd[f"{name}.weight"] = rng.standard_normal(
+                (cout, cin, k, k)).astype(np.float32)
+            if bias:
+                sd[f"{name}.bias"] = rng.standard_normal(cout).astype(
+                    np.float32)
+
+        for prefix, layout in (("encoder", taehv.ENCODER_LAYOUT),
+                               ("decoder", taehv.DECODER_LAYOUT)):
+            for i, row in enumerate(layout):
+                name = f"{prefix}.{i}"
+                if row[0] == "conv":
+                    add_conv(name, row[1], row[2], 3, row[4])
+                elif row[0] == "mem":
+                    cin, cout = row[1], row[2]
+                    add_conv(f"{name}.conv.0", cin * 2, cout, 3, True)
+                    add_conv(f"{name}.conv.2", cout, cout, 3, True)
+                    add_conv(f"{name}.conv.4", cout, cout, 3, True)
+                elif row[0] == "tpool":
+                    add_conv(f"{name}.conv", row[1] * row[2], row[1], 1,
+                             False)
+                elif row[0] == "tgrow":
+                    add_conv(f"{name}.conv", row[1], row[1] * row[2], 1,
+                             False)
+        params = taehv.convert_taehv(sd)
+        video = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 3, 16, 16))
+        lat = taehv.taehv_encode(params, video)
+        assert lat.shape == (1, 1, 16, 2, 2)
+
+
+class TestCLIP:
+    def test_visual_forward(self):
+        from mmpl_tpu.models import clip
+        cfg = dict(image_size=28, patch_size=14, dim=64, mlp_ratio=2,
+                   num_heads=4, num_layers=3)
+        params = clip.init_clip_visual_params(jax.random.PRNGKey(0), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+        out = clip.clip_visual_forward(params, img, cfg, use_31_block=True)
+        # 2x2 patches + cls = 5 tokens; 31-block -> num_layers-1 applied
+        assert out.shape == (2, 5, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_preprocess(self):
+        from mmpl_tpu.models.clip import preprocess_image
+        img = jnp.zeros((1, 3, 64, 48))          # [-1,1] mid-gray 0
+        out = np.asarray(preprocess_image(img, 224))
+        assert out.shape == (1, 3, 224, 224)
+        # 0 in [-1,1] -> 0.5 in [0,1] -> (0.5-mean)/std
+        from mmpl_tpu.models.clip import CLIP_MEAN, CLIP_STD
+        np.testing.assert_allclose(
+            out[0, :, 0, 0], (0.5 - CLIP_MEAN) / CLIP_STD, atol=1e-5)
+
+
+class TestDatasets:
+    def test_text_dataset(self, tmp_path):
+        from mmpl_tpu.data.datasets import TextDataset, batch_iterator
+        p = tmp_path / "prompts.txt"
+        p.write_text("a cat\na dog\na fox\n")
+        e = tmp_path / "ext.txt"
+        e.write_text("a fluffy cat\na happy dog\na sly fox\n")
+        ds = TextDataset(str(p), str(e))
+        assert len(ds) == 3
+        assert ds[1] == {"prompts": "a dog", "idx": 1,
+                         "extended_prompts": "a happy dog"}
+        it = batch_iterator(ds, 2, shuffle=False)
+        b = next(it)
+        assert b["prompts"] == ["a cat", "a dog"]
+
+    def test_tensor_dict_dataset(self, tmp_path):
+        from mmpl_tpu.data.datasets import TensorDictDataset
+        np.savez(tmp_path / "shard0.npz",
+                 latents=np.zeros((2, 3, 16, 4, 4), np.float32),
+                 prompt_embeds=np.ones((2, 8, 16), np.float32),
+                 prompts=np.array(["a", "b"]))
+        ds = TensorDictDataset(str(tmp_path))
+        assert len(ds) == 2
+        item = ds[1]
+        assert item["latents"].shape == (3, 16, 4, 4)
+        assert item["prompts"] == "b"
+
+
+def test_ema():
+    from mmpl_tpu.utils.ema import EmaParams
+    p = {"w": jnp.ones((4,))}
+    ema = EmaParams(p, decay=0.5)
+    ema.update({"w": jnp.full((4,), 3.0)})
+    np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 2.0)
+    out = ema.copy_to(jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+
+
+def test_phase_timer_report(capsys):
+    import time
+    from mmpl_tpu.utils.profiling import PhaseTimer
+    pt = PhaseTimer()
+    with pt.phase("Initialization/caching"):
+        time.sleep(0.01)
+    with pt.phase("Diffusion generation"):
+        time.sleep(0.02)
+    pt.record_block(0.01)
+    rep = pt.report()
+    assert "Profiling results:" in rep
+    assert "Diffusion generation" in rep
+    assert "Block 0" in rep
+
+
+def test_prompt_expander_fallback():
+    from mmpl_tpu.utils.prompt_extend import DashScopePromptExpander
+    ex = DashScopePromptExpander(api_key="x", base_url="http://127.0.0.1:1")
+    out = ex("a cat", tar_lang="en")
+    assert out.status is False
+    assert out.prompt == "a cat"       # graceful fallback
+    assert out.message

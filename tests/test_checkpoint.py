@@ -169,3 +169,38 @@ def test_mmpl_generator_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params_ema["head"]["head"]["kernel"]),
         sd["head.head.weight"].T * 0.5, rtol=1e-6)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """export_generator_pt -> load_mmpl_generator recovers the pytree."""
+    import jax
+    import jax.numpy as jnp
+    from mmpl_tpu.utils.train_state_io import export_generator_pt
+    cfg = tiny_test_config()
+    params = dit.init_dit_params(jax.random.PRNGKey(7), cfg, jnp.float32)
+    p = str(tmp_path / "export.pt")
+    export_generator_pt(p, params, None, cfg)
+    back = ckpt.load_mmpl_generator(p, cfg)
+
+    flat_a, tree_a = jax.tree_util.tree_flatten_with_path(params)
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    # structural + numerical identity for every leaf
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_b[tuple(path)]), np.asarray(leaf), atol=1e-6,
+            err_msg=str(path))
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from mmpl_tpu.utils.train_state_io import (restore_checkpoint,
+                                               save_checkpoint)
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    back = restore_checkpoint(path, template=state)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    assert int(back["step"]) == 7

@@ -250,3 +250,45 @@ def test_fps_group_forward_matches_dynamic_twin():
             np.asarray(cache["v"].reshape(cfg.num_layers, B, -1, n, d)),
             np.asarray(flat["v"]), atol=1e-4, rtol=1e-4,
             err_msg=f"group {gi} cache-v mismatch")
+
+
+def test_frame_masked_attention_matches_dense():
+    from mmpl_tpu.ops.attention import frame_masked_attention
+    from mmpl_tpu.training import masks as M
+    rng = np.random.default_rng(0)
+    S = 4                                  # tokens per frame
+    F = 10                                 # 2*5 frames (clean|noise layout)
+    fm = M.teacher_forcing_frame_mask(5, num_frame_per_block=1)
+    assert fm.shape == (F, F)
+    L = F * S
+    B, N, D = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    ids = np.repeat(np.arange(F), S)
+
+    got = frame_masked_attention(q, k, v, ids, ids, fm,
+                                 block_q=16, block_k=16, interpret=True)
+    tok_mask = jnp.asarray(M.expand_frame_mask(fm, S))[None, None]
+    want = dense_attention(q, k, v, mask=tok_mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_frame_masked_attention_with_padding():
+    from mmpl_tpu.ops.attention import frame_masked_attention
+    rng = np.random.default_rng(1)
+    F, S = 3, 5                            # L = 15, not a block multiple
+    fm = np.tril(np.ones((F, F), bool))
+    L = F * S
+    B, N, D = 1, 1, 64
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    ids = np.repeat(np.arange(F), S)
+    got = frame_masked_attention(q, k, v, ids, ids, fm,
+                                 block_q=8, block_k=8, interpret=True)
+    from mmpl_tpu.training.masks import expand_frame_mask
+    want = dense_attention(q, k, v,
+                           mask=jnp.asarray(expand_frame_mask(fm, S))[None,
+                                                                      None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
