@@ -154,7 +154,9 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
                       t: jnp.ndarray, context: jnp.ndarray,
                       frame_mask: jnp.ndarray,
                       clean_x: Optional[jnp.ndarray] = None,
-                      aug_t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      aug_t: Optional[jnp.ndarray] = None,
+                      remat: bool = True,
+                      use_flash_kernel: bool = False) -> jnp.ndarray:
     """Training forward with teacher forcing (no KV cache).
 
     Re-design of CausalWanModel._forward_train / CausalFPSWanModel
@@ -199,9 +201,22 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
         cos = jnp.concatenate([cos, cos], axis=0)
         sin = jnp.concatenate([sin, sin], axis=0)
 
-    # token-level mask [1, 1, L, L] from the frame-level pattern
-    tok_mask = jnp.repeat(jnp.repeat(jnp.asarray(frame_mask), S, axis=0),
-                          S, axis=1)[None, None]
+    # The frame-masked Pallas kernel has no VJP yet, so it is opt-in
+    # (teacher-forcing losses run under jax.grad and need the dense path).
+    L_tok = num_seq_frames * S
+    use_kernel = (use_flash_kernel
+                  and jax.default_backend() in ("tpu", "axon")
+                  and L_tok >= 4096)
+    if use_kernel:
+        # frame-masked Pallas flash path (training-scale sequences)
+        import numpy as _np
+        frame_ids = _np.repeat(_np.arange(num_seq_frames), S)
+        fm_np = _np.asarray(frame_mask)
+        tok_mask = None
+    else:
+        # dense fallback: token-level mask [1, 1, L, L]
+        tok_mask = jnp.repeat(jnp.repeat(jnp.asarray(frame_mask), S,
+                                         axis=0), S, axis=1)[None, None]
 
     ctx = embed_text(params, context.astype(x.dtype))
     ctx_kv = precompute_context_kv(params, cfg, ctx)
@@ -215,15 +230,28 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
         v = linear(sp["v"], xm).reshape(B, L, n, d)
         q = apply_rope(q, cos, sin, out_dtype=v.dtype)
         k = apply_rope(k, cos, sin, out_dtype=v.dtype)
-        out = attention(q, k, v, mask=tok_mask)
+        if use_kernel:
+            from ..ops.attention import frame_masked_attention
+            out = frame_masked_attention(q, k, v, frame_ids, frame_ids,
+                                         fm_np)
+        else:
+            out = attention(q, k, v, mask=tok_mask)
         return linear(sp["o"], out.reshape(B, L, -1))
+
+    def block_apply(x, bp, ckv):
+        return block_forward(bp, cfg, x, e0,
+                             lambda xm: self_attn(bp["self_attn"], xm), ckv,
+                             num_seq_frames)
+
+    if remat:
+        # per-block rematerialisation (the reference's per-block
+        # torch.utils.checkpoint, causal_fps_model.py:817-821)
+        block_apply = jax.checkpoint(block_apply,
+                                     prevent_cse=False)
 
     def scan_body(x, layer_in):
         bp, ckv = layer_in
-        x = block_forward(bp, cfg, x, e0,
-                          lambda xm: self_attn(bp["self_attn"], xm), ckv,
-                          num_seq_frames)
-        return x, None
+        return block_apply(x, bp, ckv), None
 
     x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
 

@@ -60,84 +60,6 @@ def dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas TPU flash attention
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  kv_len: int, block_k: int, scale: float):
-    """Online-softmax flash attention; grid (B, N, Qblocks, Kblocks).
-
-    TPU grids iterate sequentially with the last dim fastest, so the scratch
-    accumulators carry state across the Kblock dim and flush at the last one.
-    """
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(ki == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0, 0]                                # [BQ, D]
-    k = k_ref[0, 0]                                # [BK, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-
-    # mask key-side padding in the (only) partial block
-    valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-             < (kv_len - ki * block_k))
-    s = jnp.where(valid, s, NEG_INF)
-
-    m_prev = m_scr[:, :1]                          # [BQ, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)     # [BQ, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                # [BQ, 1]
-    p = jnp.exp(s - m_new)                         # [BQ, BK]
-
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [BQ, D]
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(ki == nk - 1)
-    def _():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)            # fully-masked (padded q) rows
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
-                                             "scale", "interpret"))
-def _flash_padded(q, k, v, *, kv_len: int, block_q: int, block_k: int,
-                  scale: float, interpret: bool):
-    """q [B,N,Lq,D] (Lq % block_q == 0), k/v [B,N,Lkp,D] (Lkp % block_k == 0)."""
-    B, N, Lq, D = q.shape
-    Lkp = k.shape[2]
-    grid = (B, N, Lq // block_q, Lkp // block_k)
-    kernel = functools.partial(_flash_kernel, kv_len=kv_len,
-                               block_k=block_k, scale=scale)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, n, qi, ki: (b, n, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, Lq, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q, k, v)
-
-
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
                     block_q: int = 512, block_k: int = 2048,
@@ -145,32 +67,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Pallas flash attention. q [B, Lq, N, D], k/v [B, Lk, N, D].
 
     Pads both sequence dims to block multiples (padding keys are masked,
-    padding queries sliced off).  All shapes in the MMPL plan are static so
-    each (group, phase) compiles exactly once.
+    padding queries sliced off); differentiable (custom VJP with Pallas
+    backward kernels), so the same path serves inference and the
+    self-forcing training rollouts.
     """
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
-    scale = scale if scale is not None else 1.0 / math.sqrt(D)
     block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (Lk - 1).bit_length()))
-
-    qt = jnp.swapaxes(q, 1, 2)                    # [B, N, Lq, D]
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-
-    pq = _cdiv(Lq, block_q) * block_q - Lq
-    pk = _cdiv(Lk, block_k) * block_k - Lk
-    if pq:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pq), (0, 0)))
-    if pk:
-        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pk), (0, 0)))
-        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pk), (0, 0)))
-
-    out = _flash_padded(qt, kt, vt, kv_len=Lk, block_q=block_q,
-                        block_k=block_k, scale=scale, interpret=interpret)
-    if pq:
-        out = out[:, :, :Lq]
-    return jnp.swapaxes(out, 1, 2)
+    return flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -346,3 +251,262 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if Lqp != Lq:
         out = out[:, :, :Lq]
     return jnp.swapaxes(out, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (custom VJP, Pallas fwd + bwd kernels)
+# ---------------------------------------------------------------------------
+#
+# Standard flash backward: the forward additionally emits the per-query
+# logsumexp; the backward reconstructs p tile-by-tile from (q, k, lse) and
+# accumulates dv/dk over query blocks and dq over key blocks.
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr, *,
+                      kv_len: int, block_k: int, scale: float):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+             < (kv_len - ki * block_k))
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        lsafe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / lsafe).astype(o_ref.dtype)
+        lse = (m_scr[:, :1] + jnp.log(lsafe))[:, 0]      # [BQ]
+        lse_ref[0, 0, 0] = lse.reshape(lse_ref.shape[3:])
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_scr, dv_scr, *,
+                          q_len: int, block_q: int, scale: float):
+    """grid (B, N, Kb, Qb): accumulate dk/dv for one key block."""
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]                                 # [BQ, D]
+    k = k_ref[0, 0]                                 # [BK, D]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)           # [BQ, D]
+    lse = lse_ref[0, 0, 0].reshape(-1)              # [BQ]
+    delta = delta_ref[0, 0, 0].reshape(-1)          # [BQ]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    qvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+              < (q_len - qi * block_q))
+    p = jnp.where(qvalid, jnp.exp(s - lse[:, None]), 0.0)   # [BQ, BK]
+
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BQ, BK]
+    ds = p * (dp - delta[:, None])
+    dk_scr[:] += scale * jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_scr, *,
+                         kv_len: int, block_k: int, scale: float):
+    """grid (B, N, Qb, Kb): accumulate dq for one query block."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0].reshape(-1)
+    delta = delta_ref[0, 0, 0].reshape(-1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+              < (kv_len - ki * block_k))
+    p = jnp.where(kvalid, jnp.exp(s - lse[:, None]), 0.0)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dq_scr[:] += scale * jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _pad_lnd(x, block):
+    L = x.shape[2]
+    p = _cdiv(L, block) * block - L
+    return (jnp.pad(x, ((0, 0), (0, 0), (0, p), (0, 0))) if p else x), L
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_vjp(q, k, v, scale=None, block_q=512, block_k=1024,
+                        interpret=False):
+    """Differentiable Pallas flash attention; layout [B, L, N, D]."""
+    o, _ = _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    return o
+
+
+def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
+    block_q = max(block_q, 128)        # lane-shaped lse blocks need >= 128
+    block_k = max(block_k, 128)
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+    qt, _ = _pad_lnd(jnp.swapaxes(q, 1, 2), block_q)
+    kt, _ = _pad_lnd(jnp.swapaxes(k, 1, 2), block_k)
+    vt, _ = _pad_lnd(jnp.swapaxes(v, 1, 2), block_k)
+    Lqp, Lkp = qt.shape[2], kt.shape[2]
+    grid = (B, N, Lqp // block_q, Lkp // block_k)
+    kernel = functools.partial(_flash_fwd_kernel, kv_len=Lk,
+                               block_k=block_k, scale=sc)
+    o, lse = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
+                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
+                   jax.ShapeDtypeStruct(
+                       (B, N, Lqp // block_q, block_q // 128, 128),
+                       jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32),
+                        pltpu.VMEM((block_q, 128), jnp.float32),
+                        pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt)
+    return jnp.swapaxes(o[:, :, :Lq], 1, 2), (q, k, v, o, lse)
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, res = _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k,
+                                   interpret)
+    return out, res
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
+    block_q = max(block_q, 128)
+    block_k = max(block_k, 128)
+    q, k, v, o_p, lse = res           # o_p/lse are padded [B,N,Lqp(,D)]
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    do = jnp.swapaxes(g, 1, 2)                       # [B,N,Lq,D]
+    do_p, _ = _pad_lnd(do, block_q)
+    delta = jnp.sum(do_p.astype(jnp.float32)
+                    * o_p.astype(jnp.float32), axis=-1)   # [B,N,Lqp]
+    Bb, Nn, Lqp_ = delta.shape
+    delta = delta.reshape(Bb, Nn, Lqp_ // block_q, block_q // 128, 128)
+
+    qt, _ = _pad_lnd(jnp.swapaxes(q, 1, 2), block_q)
+    kt, _ = _pad_lnd(jnp.swapaxes(k, 1, 2), block_k)
+    vt, _ = _pad_lnd(jnp.swapaxes(v, 1, 2), block_k)
+    Lqp, Lkp = qt.shape[2], kt.shape[2]
+    gridkv = (B, N, Lkp // block_k, Lqp // block_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, q_len=Lq,
+                          block_q=block_q, scale=sc),
+        grid=gridkv,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, ki, qi: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, ki, qi: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
+                         lambda b, n, ki, qi: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
+                         lambda b, n, ki, qi: (b, n, qi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, N, Lkp, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, N, Lkp, D), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, do_p, lse, delta)
+
+    gridq = (B, N, Lqp // block_q, Lkp // block_k)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, kv_len=Lk,
+                          block_k=block_k, scale=sc),
+        grid=gridq,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
+                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
+                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, n, qi, ki: (b, n, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, do_p, lse, delta)
+
+    dq = jnp.swapaxes(dq[:, :, :Lq], 1, 2)
+    dk = jnp.swapaxes(dk[:, :, :Lk], 1, 2)
+    dv = jnp.swapaxes(dv[:, :, :Lk], 1, 2)
+    return dq, dk, dv
+
+
+flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

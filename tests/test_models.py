@@ -292,3 +292,31 @@ def test_frame_masked_attention_with_padding():
                            mask=jnp.asarray(expand_frame_mask(fm, S))[None,
                                                                       None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("lq,lk", [(64, 64), (100, 200)])
+def test_flash_vjp_matches_dense_grads(lq, lk):
+    from mmpl_tpu.ops.attention import flash_attention_vjp
+    key = jax.random.PRNGKey(0)
+    B, N, D = 1, 2, 64
+    q = jax.random.normal(key, (B, lq, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, lk, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, lk, N, D), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (B, lq, N, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_vjp(q, k, v, None, 128, 128, True) * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) * w)
+
+    o_f = flash_attention_vjp(q, k, v, None, 128, 128, True)
+    o_d = dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_d), atol=2e-5)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
