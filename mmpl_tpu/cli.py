@@ -26,6 +26,9 @@ def parse_args(argv=None):
                    help="model config ('smoke' = tiny random-weight)")
     p.add_argument("--prompt", default="a cat surfing a wave at sunset")
     p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--image", default=None,
+                   help="conditioning image (file path) -> i2v plan: the "
+                        "image is VAE-encoded as the first latent frame")
     p.add_argument("--checkpoint-path", default=None,
                    help="MMPL generator .pt (t2v_14B_8k.pt style)")
     p.add_argument("--wan-dir", default=None,
@@ -52,7 +55,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from .core.config import WAN_CONFIGS, tiny_test_config
-    from .core.geometry import latent_frames, pixel_frames
+    from .core.geometry import i2v_plan, latent_frames, pixel_frames
     from .models import dit, vae
     from .pipelines.fps_inference import CausalFPSInferencePipeline
 
@@ -103,7 +106,8 @@ def main(argv=None):
                                    (1, cfg.text_len, cfg.text_dim))
 
     pipe = CausalFPSInferencePipeline(
-        cfg, params, sampling_steps=args.sampling_steps,
+        cfg, params, plan=i2v_plan() if args.image else None,
+        sampling_steps=args.sampling_steps,
         timestep_shift=args.timestep_shift,
         guidance_scale=args.guidance_scale,
         dtype=jnp.bfloat16 if not smoke else jnp.float32)
@@ -111,6 +115,13 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 100)
     videos = []
     initial_latent = None
+    if args.image:
+        # i2v: VAE-encode the image as the first committed latent frame
+        # (MMPL_i2v server path, fastapi_parallel_i2v_server.py:740-747)
+        from .utils.media import load_image
+        img = load_image(args.image, H, W)
+        initial_latent = vae.encode(
+            vae_params, jnp.asarray(img)[None, None])   # [1, 1, 16, h, w]
     all_latents = []
     for win in range(args.duration):
         rng, kn, ki = jax.random.split(rng, 3)

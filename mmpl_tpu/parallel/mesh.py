@@ -100,3 +100,25 @@ def replicate(mesh: Mesh):
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp"):
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+# ---------------------------------------------------------------------------
+# Sharded inference (tensor parallelism over heads / ffn)
+# ---------------------------------------------------------------------------
+
+def shard_params_for_inference(params, mesh: Mesh):
+    """Place DiT params with (fsdp, tp) NamedShardings for multi-chip
+    inference (14B does not fit one v5e; sharding the contraction dim over
+    `fsdp` and head/ffn dims over `tp` lets GSPMD insert the collectives
+    the reference gets from torch FSDP + xDiT)."""
+    return jax.device_put(params, dit_param_shardings(mesh, params))
+
+
+def shard_kv_cache(cache, mesh: Mesh, tp_axis: str = "tp"):
+    """KV cache [L, B, SLOTS, S, N, d]: shard the head dim over tp."""
+    def spec(leaf):
+        dims = [None] * leaf.ndim
+        if leaf.ndim >= 2 and leaf.shape[-2] % mesh.shape[tp_axis] == 0:
+            dims[-2] = tp_axis
+        return NamedSharding(mesh, P(*dims))
+    return jax.tree.map(lambda x: jax.device_put(x, spec(x)), cache)

@@ -180,3 +180,30 @@ def test_prompt_expander_fallback():
     assert out.status is False
     assert out.prompt == "a cat"       # graceful fallback
     assert out.message
+
+
+class TestMedia:
+    def test_soft_append(self):
+        from mmpl_tpu.utils.media import soft_append_bcthw
+        a = np.ones((1, 3, 5, 2, 2), np.float32)
+        b = np.zeros((1, 3, 5, 2, 2), np.float32)
+        out = soft_append_bcthw(a, b, overlap=0)
+        assert out.shape[2] == 10
+        out = soft_append_bcthw(a, b, overlap=3)
+        assert out.shape[2] == 7
+        # cross-fade goes 1 -> 0 over the overlap
+        np.testing.assert_allclose(out[0, 0, :2, 0, 0], 1.0)
+        fade = out[0, 0, 2:5, 0, 0]
+        assert fade[0] == pytest.approx(1.0) and fade[-1] == pytest.approx(0.0)
+        np.testing.assert_allclose(out[0, 0, 5:, 0, 0], 0.0)
+
+    def test_load_image_roundtrip(self, tmp_path):
+        from PIL import Image
+        from mmpl_tpu.utils.media import load_image
+        arr = (np.random.default_rng(0).integers(0, 255, (30, 40, 3))
+               .astype(np.uint8))
+        p = str(tmp_path / "img.png")
+        Image.fromarray(arr).save(p)
+        out = load_image(p, 16, 16)
+        assert out.shape == (3, 16, 16)
+        assert -1.0 <= out.min() and out.max() <= 1.0

@@ -47,3 +47,47 @@ def test_usp_forward_matches_single_device():
     want = np.asarray(dit.dit_forward(params, cfg, lat, t, ctx))
     got = np.asarray(usp_dit_forward(params, cfg, lat, t, ctx, mesh))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_sharded_inference_matches_single_device():
+    """FPS group forward with (fsdp, tp)-sharded params + tp-sharded KV
+    cache must reproduce the single-device result (GSPMD collectives)."""
+    from mmpl_tpu.core.geometry import t2v_plan
+    from mmpl_tpu.models.fps_dit import fps_forward_group, init_kv_cache
+    from mmpl_tpu.parallel.mesh import (shard_kv_cache,
+                                        shard_params_for_inference)
+
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    plan = t2v_plan()
+    group = plan.groups[1]
+    B, C, H, W = 1, 16, 4, 4
+    S = (H // 2) * (W // 2)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.text_len, cfg.text_dim))
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    lat = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, group.num_frames, C, H, W))
+    t = jnp.full((B, group.num_frames), 500.0)
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.float32)
+
+    flow_ref, cache_ref = jax.jit(
+        lambda p, c: fps_forward_group(p, cfg, lat, t, ctx_kv, c, group))(
+            params, cache)
+
+    mesh = make_mesh({"dp": 1, "fsdp": 2, "tp": 2})
+    params_s = shard_params_for_inference(params, mesh)
+    cache_s = shard_kv_cache(init_kv_cache(cfg, B, S, dtype=jnp.float32),
+                             mesh)
+    ctx_kv_s = dit.precompute_context_kv(params_s, cfg, emb)
+    flow_s, cache_s2 = jax.jit(
+        lambda p, c: fps_forward_group(p, cfg, lat, t, ctx_kv_s, c, group))(
+            params_s, cache_s)
+
+    np.testing.assert_allclose(np.asarray(flow_s), np.asarray(flow_ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cache_s2["k"]),
+                               np.asarray(cache_ref["k"]), atol=2e-4,
+                               rtol=1e-4)
