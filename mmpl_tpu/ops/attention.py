@@ -103,6 +103,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if mask is not None or _FORCE_BACKEND == "dense":
         return dense_attention(q, k, v, mask=mask, scale=scale)
+    # the Pallas kernels need a lane-aligned head dim (128); tiny test
+    # configs (e.g. head_dim 24) use the dense path
+    if q.shape[-1] % 128 != 0:
+        return dense_attention(q, k, v, scale=scale)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if _FORCE_BACKEND == "flash" or on_tpu:
         return flash_attention(q, k, v, scale=scale,

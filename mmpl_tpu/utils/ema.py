@@ -15,8 +15,10 @@ import jax.numpy as jnp
 class EmaParams:
     def __init__(self, params, decay: float = 0.999):
         self.decay = float(decay)
+        # force a real copy: astype on an already-f32 leaf aliases the input,
+        # which may later be donated into a train step
         self.shadow = jax.tree.map(
-            lambda x: x.astype(jnp.float32), params)
+            lambda x: jnp.array(x, dtype=jnp.float32, copy=True), params)
         self._update = jax.jit(
             lambda shadow, params, d: jax.tree.map(
                 lambda s, p: s * d + p.astype(jnp.float32) * (1.0 - d),

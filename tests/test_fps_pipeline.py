@@ -101,3 +101,86 @@ def test_context_frames_influence_later_groups():
     out_b = np.asarray(pipe.inference(noise, cond, uncond,
                                       initial_latent=init_b))
     assert np.abs(out_a[:, 2:] - out_b[:, 2:]).mean() > 1e-5
+
+
+def test_causal_few_step_pipeline():
+    """Few-step distilled AR sampling (CausalInferencePipeline)."""
+    from mmpl_tpu.pipelines.causal_inference import CausalInferencePipeline
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    pipe = CausalInferencePipeline(cfg, params,
+                                   denoising_step_list=(1000, 500),
+                                   num_frame_per_block=3,
+                                   dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 4, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2),
+                             (1, cfg.text_len, cfg.text_dim))
+    out = pipe.inference(noise, cond)
+    assert out.shape == (1, 6, 16, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # context priming path (video extension)
+    init = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 16, 4, 4))
+    out2 = pipe.inference(noise, cond, initial_latent=init)
+    assert out2.shape == (1, 9, 16, 4, 4)
+    np.testing.assert_allclose(np.asarray(out2[:, :3]), np.asarray(init),
+                               atol=1e-6)
+
+
+def test_causal_diffusion_pipeline():
+    """Block-causal 50-step UniPC+CFG (CausalDiffusionInferencePipeline)."""
+    from mmpl_tpu.pipelines.causal_diffusion_inference import \
+        CausalDiffusionInferencePipeline
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    pipe = CausalDiffusionInferencePipeline(cfg, params, sampling_steps=2,
+                                            num_frame_per_block=3,
+                                            dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+    out = pipe.inference(noise, cond, uncond)
+    assert out.shape == (1, 6, 16, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bidirectional_pipelines():
+    from mmpl_tpu.pipelines.bidirectional_inference import (
+        BidirectionalDiffusionInferencePipeline,
+        BidirectionalInferencePipeline)
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+
+    p50 = BidirectionalDiffusionInferencePipeline(cfg, params,
+                                                  sampling_steps=2,
+                                                  dtype=jnp.float32)
+    out = p50.inference(noise, cond, uncond)
+    assert out.shape == noise.shape and np.isfinite(np.asarray(out)).all()
+
+    pfew = BidirectionalInferencePipeline(cfg, params,
+                                          denoising_step_list=(1000, 500),
+                                          dtype=jnp.float32)
+    out2 = pfew.inference(noise, cond)
+    assert out2.shape == noise.shape
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_wan_reference_t2v():
+    from mmpl_tpu.models import vae as vae_mod
+    from mmpl_tpu.pipelines.wan_reference import WanT2V
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(1))
+    pipe = WanT2V(cfg, params, vae_params, sampling_steps=2,
+                  dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+    lat = pipe.generate(noise, cond, uncond, decode=False)
+    assert lat.shape == noise.shape
+    video = pipe.generate(noise, cond, uncond, decode=True)
+    assert video.shape == (1, 9, 3, 32, 32)   # 1+4*(3-1) pixel frames
+    assert np.isfinite(np.asarray(video)).all()

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Training driver: teacher-forcing (CausalDiffusion) and distillation.
+
+The reference never released its trainer (`README.md:20`) — only the
+objectives. This driver completes the stack: mesh-sharded training with the
+fps-forcing mask (the objective that produced the released checkpoints),
+EMA, periodic orbax checkpoints, and export back to the reference's .pt
+format.  `--objective dmd|sid` runs the self-forcing distillation losses
+with alternating generator/critic updates
+(dfake_gen_update_ratio, configs/self_forcing_dmd.yaml).
+
+Smoke mode (no --data-dir) trains on synthetic latents to validate the loop:
+
+  python train.py --objective teacher_forcing --steps 3 --smoke
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--objective", default="teacher_forcing",
+                   choices=["teacher_forcing", "flow", "dmd", "sid"])
+    p.add_argument("--data-dir", default=None,
+                   help="TensorDictDataset shard dir (precomputed latents)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny model + synthetic data")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--ema-decay", type=float, default=0.999)
+    p.add_argument("--timestep-shift", type=float, default=8.0)
+    p.add_argument("--num-frames", type=int, default=21)
+    p.add_argument("--noise-aug-max", type=int, default=100)
+    p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--export-pt", default=None,
+                   help="also export generator to the reference .pt format")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from mmpl_tpu.core.config import T2V_1_3B, tiny_test_config
+    from mmpl_tpu.core.geometry import T2V_CLEAN_STEPS
+    from mmpl_tpu.models import dit
+    from mmpl_tpu.training import masks
+    from mmpl_tpu.training.diffusion import (DiffusionTrainer,
+                                             make_teacher_forcing_loss_fn)
+    from mmpl_tpu.utils.ema import EmaParams
+    from mmpl_tpu.utils.misc import set_seed
+
+    cfg = tiny_test_config() if args.smoke else T2V_1_3B
+    F = args.num_frames if not args.smoke else 21
+    lat_hw = (4, 4) if args.smoke else (60, 104)
+
+    key = set_seed(args.seed)
+    params = dit.init_dit_params(key, cfg, jnp.float32)
+
+    if args.objective in ("teacher_forcing", "flow"):
+        loss_fn = None
+        if args.objective == "teacher_forcing":
+            from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+            sch = FlowMatchScheduler(shift=args.timestep_shift,
+                                     sigma_min=0.0, extra_one_step=True)
+            sch.set_timesteps(1000, training=True)
+            fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS[:F])
+            loss_fn = make_teacher_forcing_loss_fn(
+                cfg, sch, fm, num_frame_per_block=3,
+                noise_aug_max_timestep=args.noise_aug_max)
+        trainer = DiffusionTrainer(cfg, params, learning_rate=args.lr,
+                                   timestep_shift=args.timestep_shift,
+                                   loss_fn=loss_fn)
+        ema = EmaParams(trainer.params, decay=args.ema_decay)
+
+        if args.data_dir:
+            from mmpl_tpu.data.datasets import (TensorDictDataset,
+                                                batch_iterator)
+            it = batch_iterator(TensorDictDataset(args.data_dir),
+                                args.batch_size, seed=args.seed)
+            def next_batch(step):
+                b = next(it)
+                return {
+                    "latents": jnp.asarray(b["latents"]),
+                    "context": jnp.asarray(b["prompt_embeds"]),
+                    "uncond_context": jnp.zeros_like(
+                        jnp.asarray(b["prompt_embeds"])),
+                }
+        else:
+            def next_batch(step):
+                k = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
+                k1, k2 = jax.random.split(k)
+                return {
+                    "latents": jax.random.normal(
+                        k1, (args.batch_size, F, 16, *lat_hw)),
+                    "context": jax.random.normal(
+                        k2, (args.batch_size, cfg.text_len, cfg.text_dim)),
+                    "uncond_context": jnp.zeros(
+                        (args.batch_size, cfg.text_len, cfg.text_dim)),
+                }
+
+        rng = jax.random.PRNGKey(args.seed + 1)
+        for step in range(args.steps):
+            rng, sub = jax.random.split(rng)
+            t0 = time.time()
+            loss = trainer.train_step(next_batch(step), sub)
+            ema.update(trainer.params)
+            print(f"step {step}: loss={float(loss):.5f} "
+                  f"({time.time()-t0:.2f}s)", file=sys.stderr, flush=True)
+            if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+                from mmpl_tpu.utils.train_state_io import save_checkpoint
+                save_checkpoint(os.path.join(args.ckpt_dir, f"step{step+1}"),
+                                {"params": trainer.params,
+                                 "opt_state": trainer.opt_state,
+                                 "ema": ema.shadow,
+                                 "step": jnp.asarray(step + 1)})
+        if args.export_pt:
+            from mmpl_tpu.utils.train_state_io import export_generator_pt
+            export_generator_pt(args.export_pt, trainer.params, ema.shadow,
+                                cfg)
+            print(f"exported {args.export_pt}", file=sys.stderr)
+        return 0
+
+    # distillation (dmd / sid): generator + fake_score + frozen real_score
+    import optax
+    from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+
+    sch = FlowMatchScheduler(shift=args.timestep_shift, sigma_min=0.0,
+                             extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                            num_max_frames=F, grad_frame_window=F)
+    dist = Distiller(cfg, DistillationConfig(
+        timestep_shift=args.timestep_shift), ro, sch)
+    models = {
+        "generator": params,
+        "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
+                                          jnp.float32),
+        "real_score": dit.init_dit_params(jax.random.PRNGKey(11), cfg,
+                                          jnp.float32),
+    }
+    gen_loss = getattr(dist, f"{'dmd' if args.objective == 'dmd' else 'sid'}"
+                       "_generator_loss")
+    tx = optax.adamw(args.lr)
+    opt_g = tx.init(models["generator"])
+    opt_c = tx.init(models["fake_score"])
+
+    @jax.jit
+    def gen_step(models, opt_g, batch, rng):
+        (loss, _), grads = jax.value_and_grad(
+            lambda g: gen_loss({**models, "generator": g}, batch, rng),
+            has_aux=True)(models["generator"])
+        upd, opt_g = tx.update(grads, opt_g, models["generator"])
+        return optax.apply_updates(models["generator"], upd), opt_g, loss
+
+    @jax.jit
+    def critic_step(models, opt_c, batch, rng):
+        (loss, _), grads = jax.value_and_grad(
+            lambda f: dist.critic_loss({**models, "fake_score": f}, batch,
+                                       rng),
+            has_aux=True)(models["fake_score"])
+        upd, opt_c = tx.update(grads, opt_c, models["fake_score"])
+        return optax.apply_updates(models["fake_score"], upd), opt_c, loss
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for step in range(args.steps):
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        ctx = jax.random.normal(k1, (args.batch_size, cfg.text_len,
+                                     cfg.text_dim))
+        emb = dit.embed_text(models["generator"], ctx)
+        batch = {
+            "noise": jax.random.normal(k2, (args.batch_size, F, 16,
+                                            *lat_hw)),
+            "ctx_kv": dit.precompute_context_kv(models["generator"], cfg,
+                                                emb),
+            "context": ctx,
+            "uncond_context": jnp.zeros_like(ctx),
+        }
+        t0 = time.time()
+        models["fake_score"], opt_c, closs = critic_step(models, opt_c,
+                                                         batch, k3)
+        line = f"step {step}: critic={float(closs):.5f}"
+        if (step + 1) % args.dfake_gen_update_ratio == 0:
+            models["generator"], opt_g, gloss = gen_step(models, opt_g,
+                                                         batch, k3)
+            line += f" gen={float(gloss):.5f}"
+        print(line + f" ({time.time()-t0:.2f}s)", file=sys.stderr,
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
