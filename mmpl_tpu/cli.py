@@ -59,6 +59,25 @@ def main(argv=None):
     from .models import dit, vae
     from .pipelines.fps_inference import CausalFPSInferencePipeline
 
+    # run-config merge + pipeline selection by `denoising_step_list`
+    # presence (Wan_fps_inference_1gpu.py:54-64)
+    run_cfg = {}
+    if args.config:
+        from .core.config import load_config
+        default = os.path.join(os.path.dirname(args.config),
+                               "default_config.yaml")
+        run_cfg = load_config(args.config,
+                              default if os.path.exists(default) else None)
+        if args.model != "smoke":      # explicit smoke wins over the config
+            args.model = run_cfg.get("model_name", args.model)
+        args.timestep_shift = run_cfg.get("timestep_shift",
+                                          args.timestep_shift)
+        args.guidance_scale = run_cfg.get("guidance_scale",
+                                          args.guidance_scale)
+        if run_cfg.get("negative_prompt") and not args.negative_prompt:
+            args.negative_prompt = run_cfg["negative_prompt"]
+    denoising_step_list = run_cfg.get("denoising_step_list")
+
     smoke = args.model == "smoke" or args.checkpoint_path is None
     if args.model == "smoke":
         cfg = tiny_test_config()
@@ -105,12 +124,26 @@ def main(argv=None):
         uncond = jax.random.normal(jax.random.PRNGKey(3),
                                    (1, cfg.text_len, cfg.text_dim))
 
-    pipe = CausalFPSInferencePipeline(
-        cfg, params, plan=i2v_plan() if args.image else None,
-        sampling_steps=args.sampling_steps,
-        timestep_shift=args.timestep_shift,
-        guidance_scale=args.guidance_scale,
-        dtype=jnp.bfloat16 if not smoke else jnp.float32)
+    if denoising_step_list:
+        # few-step distilled pipeline (no CFG)
+        from .pipelines.causal_inference import CausalInferencePipeline
+        pipe = CausalInferencePipeline(
+            cfg, params, denoising_step_list=denoising_step_list,
+            num_frame_per_block=int(run_cfg.get("num_frame_per_block", 3)),
+            context_noise=int(run_cfg.get("context_noise", 0)),
+            timestep_shift=args.timestep_shift,
+            warp_denoising_step=bool(run_cfg.get("warp_denoising_step",
+                                                 False)),
+            independent_first_frame=bool(
+                run_cfg.get("independent_first_frame", False)),
+            dtype=jnp.bfloat16 if not smoke else jnp.float32)
+    else:
+        pipe = CausalFPSInferencePipeline(
+            cfg, params, plan=i2v_plan() if args.image else None,
+            sampling_steps=args.sampling_steps,
+            timestep_shift=args.timestep_shift,
+            guidance_scale=args.guidance_scale,
+            dtype=jnp.bfloat16 if not smoke else jnp.float32)
 
     rng = jax.random.PRNGKey(args.seed + 100)
     videos = []
@@ -127,8 +160,15 @@ def main(argv=None):
         rng, kn, ki = jax.random.split(rng, 3)
         noise = jax.random.normal(kn, (1, 21, 16, lat_h, lat_w))
         t0 = time.time()
-        latents = pipe.inference(noise, cond, uncond,
-                                 initial_latent=initial_latent, rng=ki)
+        if denoising_step_list:
+            n_init = 0 if initial_latent is None else initial_latent.shape[1]
+            nb = int(run_cfg.get("num_frame_per_block", 3))
+            F_new = ((21 - n_init) // nb) * nb
+            latents = pipe.inference(noise[:, :F_new], cond,
+                                     initial_latent=initial_latent, rng=ki)
+        else:
+            latents = pipe.inference(noise, cond, uncond,
+                                     initial_latent=initial_latent, rng=ki)
         latents_np = np.asarray(latents)
         print(f"window {win}: denoise {time.time()-t0:.1f}s",
               file=sys.stderr)

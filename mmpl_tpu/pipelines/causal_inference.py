@@ -52,21 +52,28 @@ class CausalInferencePipeline:
                  timestep_shift: float = 8.0,
                  independent_first_frame: bool = False,
                  local_attn_frames: int = 21,
+                 warp_denoising_step: bool = False,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.params = params
-        self.denoising_step_list = tuple(int(t) for t in denoising_step_list)
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise
         self.independent_first_frame = independent_first_frame
         self.local_attn_frames = local_attn_frames
         self.dtype = dtype
-        # warp_denoising_step: map [1000,750,500,250] through the shifted
-        # schedule (configs/self_forcing_dmd.yaml; wan_wrapper scheduler)
         self.scheduler = FlowMatchScheduler(shift=timestep_shift,
                                             sigma_min=0.0,
                                             extra_one_step=True)
         self.scheduler.set_timesteps(1000, training=True)
+        steps = [int(t) for t in denoising_step_list]
+        if warp_denoising_step:
+            # map through the shifted schedule: step -> timesteps[1000-step]
+            # (causal_inference.py:29-31; configs/self_forcing_dmd.yaml)
+            import numpy as np
+            ts = np.concatenate([np.asarray(self.scheduler.timesteps),
+                                 [0.0]])
+            steps = [float(ts[1000 - s]) for s in steps]
+        self.denoising_step_list = tuple(steps)
         self._block_fns = {}
         self._commit_fns = {}
 
