@@ -83,7 +83,9 @@ class ChunkParallelPipeline:
 
     def generate(self, noise_per_chunk: Sequence[jnp.ndarray],
                  cond_context: jnp.ndarray, uncond_context: jnp.ndarray,
-                 rng: Optional[jax.Array] = None) -> List[jnp.ndarray]:
+                 rng: Optional[jax.Array] = None,
+                 initial_latent: Optional[jnp.ndarray] = None
+                 ) -> List[jnp.ndarray]:
         """Generate len(noise_per_chunk) chunks, round-robin over stages.
 
         Returns the list of denoised latent windows ([B, 21, C, H, W] each).
@@ -103,7 +105,10 @@ class ChunkParallelPipeline:
             uncond_d = jax.device_put(uncond_context, dev)
 
             initial = None
-            if handoff is not None:
+            if ci == 0 and initial_latent is not None:
+                # i2v: the first chunk starts from the encoded image
+                initial = jax.device_put(initial_latent, dev)
+            elif handoff is not None:
                 # device-to-device anchor transfer + causal pixel bridge
                 initial = stage["bridge"](stage["vae"],
                                           jax.device_put(handoff, dev))

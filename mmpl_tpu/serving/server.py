@@ -312,10 +312,15 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from ..core.geometry import i2v_plan
+    from ..models import vae as vae_mod
     from ..parallel.chunk_pipeline import ChunkParallelPipeline
     from ..utils.video_io import write_video
 
-    pipe = ChunkParallelPipeline(cfg, params, vae_params, devices=devices)
+    is_i2v = config.service_type == "parallel_i2v"
+    pipe = ChunkParallelPipeline(
+        cfg, params, vae_params, devices=devices,
+        plan=i2v_plan() if is_i2v else None)
     neg = cfg.sample_neg_prompt
 
     def backend(prompt: str, num_chunks: int, seed: int,
@@ -326,7 +331,17 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
         noises = [jax.random.normal(jax.random.fold_in(rng, i),
                                     (1, 21, 16, 60, 104))
                   for i in range(num_chunks)]
-        chunks = pipe.generate(noises, cond, uncond, rng=rng)
+        initial = None
+        if image is not None:
+            # i2v: VAE-encode the request image (url/base64/path) as the
+            # first chunk's initial latent
+            # (fastapi_parallel_i2v_server.py:294-345,740-747)
+            from ..utils.media import load_image
+            img = load_image(image, 480, 832)
+            initial = vae_mod.encode(vae_params,
+                                     jnp.asarray(img)[None, None])
+        chunks = pipe.generate(noises, cond, uncond, rng=rng,
+                               initial_latent=initial)
         vids = pipe.decode_chunks(chunks)
         paths = []
         for i, v in enumerate(vids):

@@ -131,3 +131,28 @@ def test_failed_backend_reports_failure(tmp_path):
         assert rec["code"] == 10903
     finally:
         srv.shutdown()
+
+
+def test_i2v_request_passes_image(tmp_path):
+    got = {}
+
+    def backend(prompt, num_chunks, seed, image=None):
+        got["image"] = image
+        return []
+
+    cfg = ParallelServerConfig(host="127.0.0.1", port=0,
+                               output_folder=str(tmp_path),
+                               service_type="parallel_i2v")
+    srv = create_server(cfg, backend=backend)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        _, body = _post(port, "/parallel_i2v",
+                        {"prompt": "a boat", "image": "b64://fake"})
+        deadline = time.time() + 10
+        while "image" not in got and time.time() < deadline:
+            time.sleep(0.05)
+        assert got.get("image") == "b64://fake"
+    finally:
+        srv.shutdown()
