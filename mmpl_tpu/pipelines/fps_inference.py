@@ -50,14 +50,25 @@ class CausalFPSInferencePipeline:
                  guidance_scale: float = 5.0,
                  num_train_timesteps: int = 1000,
                  reseed_seed: int = 0,
+                 sample_solver: str = "unipc",
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.params = params
         self.plan = plan or t2v_plan()
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
-        self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift,
-                                 num_train_timesteps=num_train_timesteps)
+        # 'unipc' | 'dpm++' (casual_fps_inference.py:503-524); both samplers
+        # share the scan-table interface so they are drop-in interchangeable
+        if sample_solver == "unipc":
+            self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift,
+                                     num_train_timesteps=num_train_timesteps)
+        elif sample_solver == "dpm++":
+            from ..schedulers.dpm_solver import FlowDPMSolver
+            self.sampler = FlowDPMSolver(
+                sampling_steps, shift=timestep_shift,
+                num_train_timesteps=num_train_timesteps)
+        else:
+            raise NotImplementedError(f"Unsupported solver {sample_solver}")
 
         # the re-seed scheduler: FlowMatchScheduler in training mode with the
         # run shift (casual_fps_inference.py:93-109); the fixed random index
@@ -111,7 +122,7 @@ class CausalFPSInferencePipeline:
             flow = (uncond.astype(jnp.float32)
                     + self.guidance_scale
                     * (cond.astype(jnp.float32) - uncond.astype(jnp.float32)))
-            state = FlowUniPC.step(coef, state, flow)
+            state = type(self.sampler).step(coef, state, flow)
             return (cache, state), None
 
         (cache, state), _ = jax.lax.scan(

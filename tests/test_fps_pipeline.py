@@ -184,3 +184,18 @@ def test_wan_reference_t2v():
     video = pipe.generate(noise, cond, uncond, decode=True)
     assert video.shape == (1, 9, 3, 32, 32)   # 1+4*(3-1) pixel frames
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_fps_pipeline_dpm_solver():
+    """sample_solver='dpm++' (casual_fps_inference.py:512-521 parity)."""
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    pipe = CausalFPSInferencePipeline(cfg, params, sampling_steps=2,
+                                      sample_solver="dpm++",
+                                      dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 21, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+    out = pipe.inference(noise, cond, uncond)
+    assert out.shape == (1, 21, 16, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
