@@ -201,11 +201,12 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
         cos = jnp.concatenate([cos, cos], axis=0)
         sin = jnp.concatenate([sin, sin], axis=0)
 
-    # The frame-masked Pallas kernel has no VJP yet, so it is opt-in
-    # (teacher-forcing losses run under jax.grad and need the dense path).
+    # frame-masked Pallas flash path (differentiable — custom VJP); dense
+    # fallback for small shapes / non-lane-aligned head dims / CPU
     L_tok = num_seq_frames * S
     use_kernel = (use_flash_kernel
                   and jax.default_backend() in ("tpu", "axon")
+                  and d % 128 == 0
                   and L_tok >= 4096)
     if use_kernel:
         # frame-masked Pallas flash path (training-scale sequences)

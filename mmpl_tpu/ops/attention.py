@@ -127,78 +127,24 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # which avoids unsupported vector gathers and costs O(BQ*F*BK) MACs with
 # F <= ~64.
 
-def _masked_flash_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref, o_ref,
-                         m_scr, l_scr, acc_scr, *, block_k: int,
-                         scale: float, num_frames_padded: int):
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(ki == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [BQ, BK]
-
-    Fp = num_frames_padded
-    qf = qf_ref[0]                                       # [BQ] int32
-    kf = kf_ref[0]                                       # [BK] int32
-    oh_q = (jax.lax.broadcasted_iota(jnp.int32, (qf.shape[0], Fp), 1)
-            == qf[:, None]).astype(jnp.float32)          # [BQ, Fp]
-    oh_k = (jax.lax.broadcasted_iota(jnp.int32, (kf.shape[0], Fp), 1)
-            == kf[:, None]).astype(jnp.float32)          # [BK, Fp]
-    qrow = jax.lax.dot_general(
-        oh_q, fm_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [BQ, Fp]
-    allowed = jax.lax.dot_general(
-        qrow, oh_k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [BQ, BK]
-    s = jnp.where(allowed > 0.5, s, NEG_INF)
-
-    m_prev = m_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    # rows with every key masked so far keep m = NEG_INF; clamp the softmax
-    # shift so those rows stay exactly zero instead of exp(0)
-    shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
-    alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
-    p = jnp.where(allowed > 0.5, jnp.exp(s - shift), 0.0)
-
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(ki == nk - 1)
-    def _():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
-
-
 def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            q_frame_ids, kv_frame_ids, frame_mask,
                            scale: Optional[float] = None,
                            block_q: int = 512, block_k: int = 1024,
                            interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Flash attention under a frame-granular boolean mask.
+    """Differentiable flash attention under a frame-granular boolean mask.
 
     q [B, Lq, N, D]; frame ids are per-token int arrays; frame_mask [F, F]
-    bool (True = attend).  Padding tokens are assigned a dedicated padding
-    frame whose mask row/column is all-False.
+    bool (True = attend).  Padding tokens get a dedicated padding frame
+    whose mask row/column is all-False.  Custom VJP with Pallas backward
+    kernels, so the teacher-forcing losses can train on this path.
     """
     import numpy as np
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    block_q = max(128, block_q)
+    block_k = max(128, block_k)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -213,8 +159,6 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = np.full(-(-Lk // block_k) * block_k, F, np.int32)
     kf[:Lk] = np.asarray(kv_frame_ids, np.int32)
     Lqp, Lkp = len(qf), len(kf)
-    qf = qf.reshape(-1, block_q)           # [n_qblocks, BQ] (2-D for TPU)
-    kf = kf.reshape(-1, block_k)
 
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
@@ -225,33 +169,9 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
 
-    grid = (B, N, Lqp // block_q, Lkp // block_k)
-    kernel = functools.partial(_masked_flash_kernel, block_k=block_k,
-                               scale=scale, num_frames_padded=Fp)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q), lambda b, n, qi, ki: (qi, 0)),
-            pl.BlockSpec((1, block_k), lambda b, n, qi, ki: (ki, 0)),
-            pl.BlockSpec((Fp, Fp), lambda b, n, qi, ki: (0, 0)),
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, n, qi, ki: (b, n, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, n, qi, ki: (b, n, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, n, qi, ki: (b, n, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(fm_p), qt, kt, vt)
+    meta = _MaskedMeta(qf, kf, fm_p, Fp, scale, block_q, block_k,
+                       interpret, Lq, Lk)
+    out = _masked_flash_vjp(qt, kt, vt, meta)
     if Lqp != Lq:
         out = out[:, :, :Lq]
     return jnp.swapaxes(out, 1, 2)
@@ -514,3 +434,296 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
 
 
 flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable frame-masked flash attention (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# Same structure as the unmasked VJP; every kernel rebuilds the per-tile
+# admissibility with the onehot @ frame_mask @ onehot^T trick, making the
+# teacher-forcing losses trainable on the Pallas path.
+
+def _mask_tile(qf, kf, fm_ref, Fp):
+    oh_q = (jax.lax.broadcasted_iota(jnp.int32, (qf.shape[0], Fp), 1)
+            == qf[:, None]).astype(jnp.float32)
+    oh_k = (jax.lax.broadcasted_iota(jnp.int32, (kf.shape[0], Fp), 1)
+            == kf[:, None]).astype(jnp.float32)
+    qrow = jax.lax.dot_general(oh_q, fm_ref[:, :], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(qrow, oh_k, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _masked_fwd_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                       scale: float, num_frames_padded: int):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(q_ref[0, 0], k_ref[0, 0],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    allowed = _mask_tile(qf_ref[0].reshape(-1), kf_ref[0].reshape(-1),
+                         fm_ref, num_frames_padded)
+    s = jnp.where(allowed > 0.5, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+    p = jnp.where(allowed > 0.5, jnp.exp(s - shift), 0.0)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        lsafe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / lsafe).astype(o_ref.dtype)
+        m = m_scr[:, :1]
+        lse = jnp.where(m == NEG_INF, NEG_INF, m + jnp.log(lsafe))[:, 0]
+        lse_ref[0, 0, 0] = lse.reshape(lse_ref.shape[3:])
+
+
+def _masked_p(q, k, lse, qf, kf, fm_ref, Fp, scale):
+    """Reconstruct p tile from (q, k, lse) under the frame mask."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    allowed = _mask_tile(qf, kf, fm_ref, Fp)
+    safe_lse = jnp.where(lse == NEG_INF, 0.0, lse)
+    p = jnp.exp(s - safe_lse[:, None])
+    return jnp.where((allowed > 0.5) & (lse != NEG_INF)[:, None], p, 0.0)
+
+
+def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
+                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                           dk_scr, dv_scr, *, scale: float,
+                           num_frames_padded: int):
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0].reshape(-1)
+    delta = delta_ref[0, 0, 0].reshape(-1)
+    p = _masked_p(q, k, lse, qf_ref[0].reshape(-1),
+                  kf_ref[0].reshape(-1), fm_ref, num_frames_padded, scale)
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dk_scr[:] += scale * jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _masked_bwd_dq_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
+                          do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
+                          scale: float, num_frames_padded: int):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0].reshape(-1)
+    delta = delta_ref[0, 0, 0].reshape(-1)
+    p = _masked_p(q, k, lse, qf_ref[0].reshape(-1),
+                  kf_ref[0].reshape(-1), fm_ref, num_frames_padded, scale)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dq_scr[:] += scale * jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+class _MaskedMeta:
+    """Static (non-differentiable) metadata for the masked VJP."""
+
+    def __init__(self, qf, kf, fm_p, Fp, scale, block_q, block_k,
+                 interpret, Lq, Lk):
+        import numpy as np
+        self.qf = qf
+        self.kf = kf
+        self.fm_p = fm_p
+        self.Fp = Fp
+        self.scale = scale
+        self.block_q = block_q
+        self.block_k = block_k
+        self.interpret = interpret
+        self.Lq = Lq
+        self.Lk = Lk
+
+    def __hash__(self):
+        import numpy as np
+        return hash((self.qf.tobytes(), self.kf.tobytes(),
+                     self.fm_p.tobytes(), self.Fp, self.scale,
+                     self.block_q, self.block_k, self.interpret,
+                     self.Lq, self.Lk))
+
+    def __eq__(self, other):
+        import numpy as np
+        return (isinstance(other, _MaskedMeta)
+                and hash(self) == hash(other))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _masked_flash_vjp(qt, kt, vt, meta):
+    o, _ = _masked_vjp_fwd_impl(qt, kt, vt, meta)
+    return o
+
+
+def _masked_common_specs(meta, D):
+    bq, bk = meta.block_q, meta.block_k
+    return [
+        pl.BlockSpec((1, bq // 128, 128), lambda b, n, qi, ki: (qi, 0, 0)),
+        pl.BlockSpec((1, bk // 128, 128), lambda b, n, qi, ki: (ki, 0, 0)),
+        pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
+        pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+    ]
+
+
+def _masked_vjp_fwd_impl(qt, kt, vt, meta):
+    """qt/kt/vt are pre-padded [B, N, Lp, D]."""
+    B, N, Lqp, D = qt.shape
+    Lkp = kt.shape[2]
+    bq, bk = meta.block_q, meta.block_k
+    grid = (B, N, Lqp // bq, Lkp // bk)
+    qf2 = meta.qf.reshape(-1, bq // 128, 128)
+    kf2 = meta.kf.reshape(-1, bk // 128, 128)
+    kernel = functools.partial(_masked_fwd_kernel, scale=meta.scale,
+                               num_frames_padded=meta.Fp)
+    o, lse = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=_masked_common_specs(meta, D),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq // 128, 128),
+                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, N, Lqp, D), qt.dtype),
+                   jax.ShapeDtypeStruct((B, N, Lqp // bq, bq // 128, 128),
+                                        jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=meta.interpret,
+    )(jnp.asarray(qf2), jnp.asarray(kf2), jnp.asarray(meta.fm_p), qt, kt, vt)
+    return o, (qt, kt, vt, o, lse)
+
+
+def _masked_vjp_fwd(qt, kt, vt, meta):
+    return _masked_vjp_fwd_impl(qt, kt, vt, meta)
+
+
+def _masked_vjp_bwd(meta, res, g):
+    qt, kt, vt, o, lse = res
+    B, N, Lqp, D = qt.shape
+    Lkp = kt.shape[2]
+    bq, bk = meta.block_q, meta.block_k
+    qf2 = jnp.asarray(meta.qf.reshape(-1, bq // 128, 128))
+    kf2 = jnp.asarray(meta.kf.reshape(-1, bk // 128, 128))
+    fm = jnp.asarray(meta.fm_p)
+
+    do = g
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = delta.reshape(B, N, Lqp // bq, bq // 128, 128)
+
+    lse_spec = pl.BlockSpec((1, 1, 1, bq // 128, 128),
+                            lambda b, n, ki, qi: (b, n, qi, 0, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_masked_bwd_dkv_kernel, scale=meta.scale,
+                          num_frames_padded=meta.Fp),
+        grid=(B, N, Lkp // bk, Lqp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq // 128, 128),
+                         lambda b, n, ki, qi: (qi, 0, 0)),
+            pl.BlockSpec((1, bk // 128, 128),
+                         lambda b, n, ki, qi: (ki, 0, 0)),
+            pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, ki, qi: (0, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, n, ki, qi: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, n, ki, qi: (b, n, qi, 0)),
+            lse_spec,
+            lse_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, ki, qi: (b, n, ki, 0)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, N, Lkp, D), kt.dtype),
+                   jax.ShapeDtypeStruct((B, N, Lkp, D), vt.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+        interpret=meta.interpret,
+    )(qf2, kf2, fm, qt, kt, vt, do, lse, delta)
+
+    lse_spec_q = pl.BlockSpec((1, 1, 1, bq // 128, 128),
+                              lambda b, n, qi, ki: (b, n, qi, 0, 0))
+    dq = pl.pallas_call(
+        functools.partial(_masked_bwd_dq_kernel, scale=meta.scale,
+                          num_frames_padded=meta.Fp),
+        grid=(B, N, Lqp // bq, Lkp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq // 128, 128),
+                         lambda b, n, qi, ki: (qi, 0, 0)),
+            pl.BlockSpec((1, bk // 128, 128),
+                         lambda b, n, qi, ki: (ki, 0, 0)),
+            pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+            lse_spec_q,
+            lse_spec_q,
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, n, qi, ki: (b, n, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), qt.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=meta.interpret,
+    )(qf2, kf2, fm, qt, kt, vt, do, lse, delta)
+    return dq, dk, dv
+
+
+_masked_flash_vjp.defvjp(_masked_vjp_fwd, _masked_vjp_bwd)

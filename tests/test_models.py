@@ -320,3 +320,35 @@ def test_flash_vjp_matches_dense_grads(lq, lk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_frame_masked_attention_grads_match_dense():
+    """The masked-kernel VJP must match dense masked attention gradients."""
+    from mmpl_tpu.ops.attention import frame_masked_attention
+    from mmpl_tpu.training import masks as M
+    rng = np.random.default_rng(3)
+    S, F = 8, 6
+    fm = M.teacher_forcing_frame_mask(3, 1)
+    L = F * S
+    B, N, D = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    ids = np.repeat(np.arange(F), S)
+    tok = jnp.asarray(M.expand_frame_mask(fm, S))[None, None]
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(frame_masked_attention(
+            q, k, v, ids, ids, fm, block_q=128, block_k=128,
+            interpret=True) * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask=tok) * w)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name}")
