@@ -156,7 +156,7 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
                       clean_x: Optional[jnp.ndarray] = None,
                       aug_t: Optional[jnp.ndarray] = None,
                       remat: bool = True,
-                      use_flash_kernel: bool = False) -> jnp.ndarray:
+                      use_flash_kernel: bool = True) -> jnp.ndarray:
     """Training forward with teacher forcing (no KV cache).
 
     Re-design of CausalWanModel._forward_train / CausalFPSWanModel

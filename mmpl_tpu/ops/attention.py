@@ -154,11 +154,16 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fm_p = np.zeros((Fp, Fp), np.float32)
     fm_p[:F, :F] = fm.astype(np.float32)   # padding frame rows stay 0
 
-    qf = np.full(-(-Lq // block_q) * block_q, F, np.int32)
-    qf[:Lq] = np.asarray(q_frame_ids, np.int32)
-    kf = np.full(-(-Lk // block_k) * block_k, F, np.int32)
-    kf[:Lk] = np.asarray(kv_frame_ids, np.int32)
-    Lqp, Lkp = len(qf), len(kf)
+    qf_ids = np.full(-(-Lq // block_q) * block_q, F, np.int32)
+    qf_ids[:Lq] = np.asarray(q_frame_ids, np.int32)
+    kf_ids = np.full(-(-Lk // block_k) * block_k, F, np.int32)
+    kf_ids[:Lk] = np.asarray(kv_frame_ids, np.int32)
+    Lqp, Lkp = len(qf_ids), len(kf_ids)
+    # host-built one-hot matrices (padding frame F maps to the zero row)
+    qf = np.zeros((Lqp, Fp), np.float32)
+    qf[np.arange(Lqp), np.minimum(qf_ids, Fp - 1)] = (qf_ids < F)
+    kf = np.zeros((Lkp, Fp), np.float32)
+    kf[np.arange(Lkp), np.minimum(kf_ids, Fp - 1)] = (kf_ids < F)
 
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
@@ -222,8 +227,10 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_scr[:, :1]
         lsafe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / lsafe).astype(o_ref.dtype)
-        lse = (m_scr[:, :1] + jnp.log(lsafe))[:, 0]      # [BQ]
-        lse_ref[0, 0, 0] = lse.reshape(lse_ref.shape[3:])
+        # lse is stored [B, N, Lqp, 1]: the kernels consume a native 2-D
+        # [BQ, 1] tile (1-D vectors and lane-shaped reshapes both crash
+        # Mosaic's layout inference)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(lsafe)    # [BQ, 1]
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -242,21 +249,21 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0, 0]                                 # [BK, D]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)           # [BQ, D]
-    lse = lse_ref[0, 0, 0].reshape(-1)              # [BQ]
-    delta = delta_ref[0, 0, 0].reshape(-1)          # [BQ]
+    lse2 = lse_ref[0, 0]                            # [BQ, 1]
+    delta2 = delta_ref[0, 0]                        # [BQ, 1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     qvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
               < (q_len - qi * block_q))
-    p = jnp.where(qvalid, jnp.exp(s - lse[:, None]), 0.0)   # [BQ, BK]
+    p = jnp.where(qvalid, jnp.exp(s - lse2), 0.0)   # [BQ, BK]
 
     dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [BQ, BK]
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta2)
     dk_scr[:] += scale * jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -282,18 +289,18 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0, 0].reshape(-1)
-    delta = delta_ref[0, 0, 0].reshape(-1)
+    lse2 = lse_ref[0, 0]
+    delta2 = delta_ref[0, 0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     kvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
               < (kv_len - ki * block_k))
-    p = jnp.where(kvalid, jnp.exp(s - lse[:, None]), 0.0)
+    p = jnp.where(kvalid, jnp.exp(s - lse2), 0.0)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta2)
     dq_scr[:] += scale * jax.lax.dot_general(
         ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -318,7 +325,7 @@ def flash_attention_vjp(q, k, v, scale=None, block_q=512, block_k=1024,
 
 
 def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
-    block_q = max(block_q, 128)        # lane-shaped lse blocks need >= 128
+    block_q = max(block_q, 128)
     block_k = max(block_k, 128)
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
@@ -339,13 +346,11 @@ def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
-                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, qi, ki: (b, n, qi, 0)),
         ),
         out_shape=(jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
-                   jax.ShapeDtypeStruct(
-                       (B, N, Lqp // block_q, block_q // 128, 128),
-                       jnp.float32)),
+                   jax.ShapeDtypeStruct((B, N, Lqp, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32),
                         pltpu.VMEM((block_q, 128), jnp.float32),
                         pltpu.VMEM((block_q, D), jnp.float32)],
@@ -370,10 +375,8 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
 
     do = jnp.swapaxes(g, 1, 2)                       # [B,N,Lq,D]
     do_p, _ = _pad_lnd(do, block_q)
-    delta = jnp.sum(do_p.astype(jnp.float32)
-                    * o_p.astype(jnp.float32), axis=-1)   # [B,N,Lqp]
-    Bb, Nn, Lqp_ = delta.shape
-    delta = delta.reshape(Bb, Nn, Lqp_ // block_q, block_q // 128, 128)
+    delta = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32),
+                    axis=-1, keepdims=True)               # [B,N,Lqp,1]
 
     qt, _ = _pad_lnd(jnp.swapaxes(q, 1, 2), block_q)
     kt, _ = _pad_lnd(jnp.swapaxes(k, 1, 2), block_k)
@@ -389,10 +392,10 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, ki, qi: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
-                         lambda b, n, ki, qi: (b, n, qi, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
-                         lambda b, n, ki, qi: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, ki, qi: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, ki, qi: (b, n, qi, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, D), lambda b, n, ki, qi: (b, n, ki, 0)),
@@ -415,10 +418,10 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
-                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_q // 128, 128),
-                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, qi, ki: (b, n, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, n, qi, ki: (b, n, qi, 0)),
@@ -444,11 +447,9 @@ flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # admissibility with the onehot @ frame_mask @ onehot^T trick, making the
 # teacher-forcing losses trainable on the Pallas path.
 
-def _mask_tile(qf, kf, fm_ref, Fp):
-    oh_q = (jax.lax.broadcasted_iota(jnp.int32, (qf.shape[0], Fp), 1)
-            == qf[:, None]).astype(jnp.float32)
-    oh_k = (jax.lax.broadcasted_iota(jnp.int32, (kf.shape[0], Fp), 1)
-            == kf[:, None]).astype(jnp.float32)
+def _mask_tile(oh_q, oh_k, fm_ref, Fp):
+    """allowed = onehot(qf) @ fm @ onehot(kf)^T from prebuilt one-hot tiles
+    ([BQ, Fp] / [BK, Fp] f32 inputs; avoids in-kernel iota-compare)."""
     qrow = jax.lax.dot_general(oh_q, fm_ref[:, :], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     return jax.lax.dot_general(qrow, oh_k, (((1,), (1,)), ((), ())),
@@ -470,8 +471,8 @@ def _masked_fwd_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
     s = jax.lax.dot_general(q_ref[0, 0], k_ref[0, 0],
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    allowed = _mask_tile(qf_ref[0].reshape(-1), kf_ref[0].reshape(-1),
-                         fm_ref, num_frames_padded)
+    allowed = _mask_tile(qf_ref[:, :], kf_ref[:, :], fm_ref,
+                         num_frames_padded)
     s = jnp.where(allowed > 0.5, s, NEG_INF)
 
     m_prev = m_scr[:, :1]
@@ -493,18 +494,20 @@ def _masked_fwd_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
         lsafe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / lsafe).astype(o_ref.dtype)
         m = m_scr[:, :1]
-        lse = jnp.where(m == NEG_INF, NEG_INF, m + jnp.log(lsafe))[:, 0]
-        lse_ref[0, 0, 0] = lse.reshape(lse_ref.shape[3:])
+        lse_ref[0, 0] = jnp.where(m == NEG_INF, NEG_INF,
+                                  m + jnp.log(lsafe))   # [BQ, 1]
 
 
-def _masked_p(q, k, lse, qf, kf, fm_ref, Fp, scale):
-    """Reconstruct p tile from (q, k, lse) under the frame mask."""
+def _masked_p(q, k, lse2, oh_q, oh_k, fm_ref, Fp, scale):
+    """Reconstruct p tile from (q, k, lse) under the frame mask.
+    lse2: [BQ, 1] (kept 2-D — 1-D vector ops crash the Mosaic compiler at
+    large grids)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    allowed = _mask_tile(qf, kf, fm_ref, Fp)
-    safe_lse = jnp.where(lse == NEG_INF, 0.0, lse)
-    p = jnp.exp(s - safe_lse[:, None])
-    return jnp.where((allowed > 0.5) & (lse != NEG_INF)[:, None], p, 0.0)
+    allowed = _mask_tile(oh_q, oh_k, fm_ref, Fp)
+    safe_lse = jnp.where(lse2 == NEG_INF, 0.0, lse2)
+    p = jnp.exp(s - safe_lse)
+    return jnp.where((allowed > 0.5) & (lse2 != NEG_INF), p, 0.0)
 
 
 def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
@@ -523,16 +526,16 @@ def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0, 0].reshape(-1)
-    delta = delta_ref[0, 0, 0].reshape(-1)
-    p = _masked_p(q, k, lse, qf_ref[0].reshape(-1),
-                  kf_ref[0].reshape(-1), fm_ref, num_frames_padded, scale)
+    lse2 = lse_ref[0, 0]                            # [BQ, 1]
+    delta2 = delta_ref[0, 0]
+    p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
+                  num_frames_padded, scale)
     dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta2)
     dk_scr[:] += scale * jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -557,14 +560,14 @@ def _masked_bwd_dq_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0, 0].reshape(-1)
-    delta = delta_ref[0, 0, 0].reshape(-1)
-    p = _masked_p(q, k, lse, qf_ref[0].reshape(-1),
-                  kf_ref[0].reshape(-1), fm_ref, num_frames_padded, scale)
+    lse2 = lse_ref[0, 0]                            # [BQ, 1]
+    delta2 = delta_ref[0, 0]
+    p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
+                  num_frames_padded, scale)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta2)
     dq_scr[:] += scale * jax.lax.dot_general(
         ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -613,8 +616,8 @@ def _masked_flash_vjp(qt, kt, vt, meta):
 def _masked_common_specs(meta, D):
     bq, bk = meta.block_q, meta.block_k
     return [
-        pl.BlockSpec((1, bq // 128, 128), lambda b, n, qi, ki: (qi, 0, 0)),
-        pl.BlockSpec((1, bk // 128, 128), lambda b, n, qi, ki: (ki, 0, 0)),
+        pl.BlockSpec((bq, meta.Fp), lambda b, n, qi, ki: (qi, 0)),
+        pl.BlockSpec((bk, meta.Fp), lambda b, n, qi, ki: (ki, 0)),
         pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
         pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
         pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
@@ -628,8 +631,8 @@ def _masked_vjp_fwd_impl(qt, kt, vt, meta):
     Lkp = kt.shape[2]
     bq, bk = meta.block_q, meta.block_k
     grid = (B, N, Lqp // bq, Lkp // bk)
-    qf2 = meta.qf.reshape(-1, bq // 128, 128)
-    kf2 = meta.kf.reshape(-1, bk // 128, 128)
+    qf2 = meta.qf
+    kf2 = meta.kf
     kernel = functools.partial(_masked_fwd_kernel, scale=meta.scale,
                                num_frames_padded=meta.Fp)
     o, lse = pl.pallas_call(
@@ -637,12 +640,10 @@ def _masked_vjp_fwd_impl(qt, kt, vt, meta):
         in_specs=_masked_common_specs(meta, D),
         out_specs=(
             pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, 1, bq // 128, 128),
-                         lambda b, n, qi, ki: (b, n, qi, 0, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, n, qi, ki: (b, n, qi, 0)),
         ),
         out_shape=(jax.ShapeDtypeStruct((B, N, Lqp, D), qt.dtype),
-                   jax.ShapeDtypeStruct((B, N, Lqp // bq, bq // 128, 128),
-                                        jnp.float32)),
+                   jax.ShapeDtypeStruct((B, N, Lqp, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((bq, 128), jnp.float32),
                         pltpu.VMEM((bq, 128), jnp.float32),
                         pltpu.VMEM((bq, D), jnp.float32)],
@@ -660,25 +661,23 @@ def _masked_vjp_bwd(meta, res, g):
     B, N, Lqp, D = qt.shape
     Lkp = kt.shape[2]
     bq, bk = meta.block_q, meta.block_k
-    qf2 = jnp.asarray(meta.qf.reshape(-1, bq // 128, 128))
-    kf2 = jnp.asarray(meta.kf.reshape(-1, bk // 128, 128))
+    qf2 = jnp.asarray(meta.qf)
+    kf2 = jnp.asarray(meta.kf)
     fm = jnp.asarray(meta.fm_p)
 
     do = g
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    delta = delta.reshape(B, N, Lqp // bq, bq // 128, 128)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)              # [B,N,Lqp,1]
 
-    lse_spec = pl.BlockSpec((1, 1, 1, bq // 128, 128),
-                            lambda b, n, ki, qi: (b, n, qi, 0, 0))
+    lse_spec = pl.BlockSpec((1, 1, bq, 1),
+                            lambda b, n, ki, qi: (b, n, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_masked_bwd_dkv_kernel, scale=meta.scale,
                           num_frames_padded=meta.Fp),
         grid=(B, N, Lkp // bk, Lqp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq // 128, 128),
-                         lambda b, n, ki, qi: (qi, 0, 0)),
-            pl.BlockSpec((1, bk // 128, 128),
-                         lambda b, n, ki, qi: (ki, 0, 0)),
+            pl.BlockSpec((bq, meta.Fp), lambda b, n, ki, qi: (qi, 0)),
+            pl.BlockSpec((bk, meta.Fp), lambda b, n, ki, qi: (ki, 0)),
             pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, ki, qi: (0, 0)),
             pl.BlockSpec((1, 1, bq, D), lambda b, n, ki, qi: (b, n, qi, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, n, ki, qi: (b, n, ki, 0)),
@@ -698,17 +697,15 @@ def _masked_vjp_bwd(meta, res, g):
         interpret=meta.interpret,
     )(qf2, kf2, fm, qt, kt, vt, do, lse, delta)
 
-    lse_spec_q = pl.BlockSpec((1, 1, 1, bq // 128, 128),
-                              lambda b, n, qi, ki: (b, n, qi, 0, 0))
+    lse_spec_q = pl.BlockSpec((1, 1, bq, 1),
+                              lambda b, n, qi, ki: (b, n, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_masked_bwd_dq_kernel, scale=meta.scale,
                           num_frames_padded=meta.Fp),
         grid=(B, N, Lqp // bq, Lkp // bk),
         in_specs=[
-            pl.BlockSpec((1, bq // 128, 128),
-                         lambda b, n, qi, ki: (qi, 0, 0)),
-            pl.BlockSpec((1, bk // 128, 128),
-                         lambda b, n, qi, ki: (ki, 0, 0)),
+            pl.BlockSpec((bq, meta.Fp), lambda b, n, qi, ki: (qi, 0)),
+            pl.BlockSpec((bk, meta.Fp), lambda b, n, qi, ki: (ki, 0)),
             pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
             pl.BlockSpec((1, 1, bq, D), lambda b, n, qi, ki: (b, n, qi, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, n, qi, ki: (b, n, ki, 0)),
