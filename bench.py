@@ -1,19 +1,31 @@
-"""Benchmark: MMPL window denoise throughput on one TPU chip.
+"""Benchmark: MMPL end-to-end window denoise throughput on TPU.
 
-Measures the hot path of the framework — the CausalFPS Wan DiT group
-forward with planned KV cache and batched CFG — for the Wan 1.3B
-configuration at the canonical 480x832 / 21-latent-frame window geometry,
-and extrapolates one full window (4 chunk-groups x 50 UniPC steps x CFG pair
-+ clean-KV commits, casual_fps_inference.py:250-403).
+Measures the REAL pipeline — `CausalFPSInferencePipeline.inference` (batched
+CFG pair, 50-step UniPC lax.scan per chunk-group, boundary re-seeds,
+clean-KV commits) plus the streaming VAE decode — for the Wan 1.3B
+configuration at the canonical 480x832 / 21-latent-frame window geometry
+(casual_fps_inference.py:155-451).  Also reports the per-group step-time
+breakdown (the r1 proxy) for regression tracking.
 
 Prints ONE JSON line:
   {"metric": "latent_frames_per_sec_per_chip", "value": ..., "unit": "frames/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "window_s_measured": ..., "p50_chunk_latency_s": ...,
+   "vae_decode_s": ..., "pixel_frames_per_sec_per_chip": ...}
 
 vs_baseline: ratio of our measured per-chip throughput to an analytic
 estimate of the reference stack on one H100 for the same model/workload
 (dense-bf16 989 TFLOP/s at 45% achieved MFU — a generous flash-attn torch
 estimate; the reference publishes no numbers, BASELINE.md).
+
+Env knobs:
+  BENCH_QUICK=1    tiny config smoke pass
+  BENCH_WINDOWS=N  measured windows after the compile window (default 1)
+  BENCH_SKIP_VAE=1 skip the VAE decode timing
+  BENCH_MODEL=14b  14B-shape path: measures real per-layer 14B block cost on
+                   this chip with BENCH_LAYERS layers (default 4) and
+                   extrapolates to 40 layers — the full 14B needs a
+                   multi-chip mesh (see tests/test_sharded_pipeline.py and
+                   __graft_entry__.dryrun_multichip for the sharded path).
 """
 
 import json
@@ -30,12 +42,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def model_config(quick: bool):
-    from mmpl_tpu.core.config import T2V_1_3B, DotDict, _SHARED
+def sync(x) -> float:
+    """Force a device->host transfer (block_until_ready can return early on
+    the experimental axon platform)."""
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def model_config(quick: bool, model: str):
+    from mmpl_tpu.core.config import T2V_1_3B, T2V_14B, DotDict, _SHARED
     if quick:
         return DotDict(_SHARED, name="bench-quick", model_type="t2v",
                        dim=384, ffn_dim=1024, num_heads=6, num_layers=4,
                        text_dim=512, text_len=64, freq_dim=64)
+    if model == "14b":
+        layers = int(os.environ.get("BENCH_LAYERS", "4"))
+        return DotDict(T2V_14B, name=f"t2v-14B/{layers}L",
+                       num_layers=layers), T2V_14B.num_layers
     return T2V_1_3B
 
 
@@ -53,33 +75,26 @@ def flops_per_group_forward(cfg, q_tokens: int, kv_tokens: int,
     return L * per_layer
 
 
-def main():
-    quick = os.environ.get("BENCH_QUICK", "0") == "1"
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    backend = jax.default_backend()
-    log(f"backend={backend} devices={jax.devices()} quick={quick}")
+def window_flops(cfg, plan, S: int, steps: int = 50,
+                 cfg_forwards: int = 2) -> float:
+    """Matmul FLOPs of one full denoised window (incl. clean commits)."""
+    total = 0.0
+    for group in plan.groups:
+        G = group.num_frames
+        kv_tok = (group.num_visible + (G if group.append_mode else 0)) * S
+        per_fwd = flops_per_group_forward(cfg, G * S, kv_tok)
+        n_fwd = steps + (0 if group.append_mode else 1)
+        total += per_fwd * n_fwd
+    return cfg_forwards * total
 
-    from mmpl_tpu.core.geometry import t2v_plan
+
+def bench_group_proxy(cfg, plan, B, C, H, W, dtype, repeats):
+    """r1 proxy: bare fps_forward_group step times (regression tracking)."""
     from mmpl_tpu.models import dit
     from mmpl_tpu.models.fps_dit import fps_forward_group, init_kv_cache
 
-    cfg = model_config(quick)
-    plan = t2v_plan()
-    # model batch 1; CFG = 2 sequential forwards exactly like the reference
-    # (casual_fps_inference.py:346-364) -> window cost uses 2x step time.
-    # (A v5p-class chip fits the batched-pair layout; v5e 16GB does not.)
-    B = 1
-    CFG_FORWARDS = 2
-    C, H, W = 16, 60, 104        # 480x832 latent geometry -> 1560 tok/frame
-    if quick:
-        H, W = 20, 20
     S = (H // 2) * (W // 2)
-    dtype = jnp.bfloat16
-
-    log(f"init {cfg.name}: dim={cfg.dim} layers={cfg.num_layers} "
-        f"tokens/frame={S}")
-    key = jax.random.PRNGKey(0)
-    params = dit.init_dit_params(key, cfg, dtype)
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
     ctx = jax.random.normal(jax.random.PRNGKey(1),
                             (B, cfg.text_len, cfg.text_dim), dtype)
     emb = dit.embed_text(params, ctx)
@@ -87,30 +102,23 @@ def main():
     cache = init_kv_cache(cfg, B, S, dtype=dtype)
 
     group_times = {}
-    total_flops = 0.0
     for group in plan.groups:
         G = group.num_frames
         lat = jax.random.normal(jax.random.PRNGKey(2 + group.index),
                                 (B, G, C, H, W), dtype)
         t = jnp.full((B, G), 500.0, jnp.float32)
-
-        # donate the KV cache so only one copy is ever live (the pipeline
-        # threads the cache through the scan the same way)
         fwd = jax.jit(lambda p, l, tt, ck, ca, g=group:
                       fps_forward_group(p, cfg, l, tt, ck, ca, g),
                       donate_argnums=(4,))
 
         def run_once(cache):
             flow, cache = fwd(params, lat, t, ctx_kv, cache)
-            # force full device->host sync (block_until_ready is unreliable
-            # on the experimental axon platform)
-            float(jnp.sum(flow.astype(jnp.float32)))
+            sync(flow)
             return cache
 
         t0 = time.perf_counter()
         cache = run_once(cache)
         compile_s = time.perf_counter() - t0
-
         inner = 3
         times = []
         for _ in range(repeats):
@@ -120,33 +128,164 @@ def main():
             times.append((time.perf_counter() - t0) / inner)
         step_s = float(np.median(times))
         group_times[group.index] = step_s
-        kv_tok = (group.num_visible + (G if group.append_mode else 0)) * S
-        total_flops += flops_per_group_forward(cfg, G * S, kv_tok)
         log(f"group{group.index}: frames={G} kv_frames={group.num_visible} "
             f"step={step_s*1e3:.1f}ms (compile {compile_s:.1f}s)")
+    return group_times
 
+
+def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows):
+    """Measured end-to-end windows through CausalFPSInferencePipeline."""
+    from mmpl_tpu.models import dit
+    from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
+
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+    pipe = CausalFPSInferencePipeline(cfg, params, plan=plan,
+                                      sampling_steps=steps, dtype=dtype)
+    noise = jax.random.normal(jax.random.PRNGKey(10),
+                              (B, plan.num_frames, C, H, W), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(11),
+                             (B, cfg.text_len, cfg.text_dim), jnp.float32)
+    uncond = jax.random.normal(jax.random.PRNGKey(12),
+                               (B, cfg.text_len, cfg.text_dim), jnp.float32)
+
+    # window 0: compiles all group programs
+    t0 = time.perf_counter()
+    out = pipe.inference(noise, cond, uncond, rng=jax.random.PRNGKey(0))
+    sync(out)
+    log(f"window0 (compile+run): {time.perf_counter() - t0:.1f}s "
+        f"dispatch={ {k: round(v, 2) for k, v in pipe.phase_times.items()} }")
+
+    window_times = []
+    for wi in range(n_windows):
+        t0 = time.perf_counter()
+        out = pipe.inference(noise, cond, uncond,
+                             rng=jax.random.PRNGKey(1 + wi))
+        sync(out)
+        dt = time.perf_counter() - t0
+        window_times.append(dt)
+        log(f"window{wi + 1}: {dt:.1f}s")
+    return out, window_times
+
+
+def main():
+    quick = os.environ.get("BENCH_QUICK", "0") == "1"
+    model = os.environ.get("BENCH_MODEL", "1.3b").lower()
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "1"))
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()} quick={quick} "
+        f"model={model}")
+
+    from mmpl_tpu.core.geometry import t2v_plan
+
+    plan = t2v_plan()
+    B = 1
+    CFG_FORWARDS = 2   # batched pair costs ~2 forwards of compute
+    C, H, W = 16, 60, 104        # 480x832 latent geometry -> 1560 tok/frame
     steps = 50
-    window_s = CFG_FORWARDS * sum(steps * t for t in group_times.values())
-    # clean-KV commit reruns: one extra forward pair per non-append group
-    window_s += CFG_FORWARDS * sum(t for g, t in group_times.items()
-                                   if not plan.groups[g].append_mode)
-    frames_per_s = plan.num_frames / window_s
+    dtype = jnp.bfloat16
+    extrapolate_layers = None
 
-    achieved_tflops = (CFG_FORWARDS * total_flops * steps / window_s) / 1e12
-    log(f"window={window_s:.1f}s  frames/s/chip={frames_per_s:.4f}  "
-        f"achieved~{achieved_tflops:.1f} TFLOP/s")
+    if model == "14b" and not quick:
+        cfg, full_layers = model_config(quick, model)
+        extrapolate_layers = full_layers
+    else:
+        cfg = model_config(quick, model)
+    if quick:
+        H, W = 20, 20
+        steps = 4
+        n_windows = 1
+    S = (H // 2) * (W // 2)
 
-    # analytic single-H100 reference estimate for the same workload
+    log(f"init {cfg.name}: dim={cfg.dim} layers={cfg.num_layers} "
+        f"tokens/frame={S}")
+
+    # --- per-group proxy (r1 metric continuity + per-op regression) -------
+    group_times = bench_group_proxy(cfg, plan, B, C, H, W, dtype, repeats)
+    extrap_window_s = CFG_FORWARDS * sum(steps * t
+                                         for t in group_times.values())
+    extrap_window_s += CFG_FORWARDS * sum(
+        t for g, t in group_times.items() if not plan.groups[g].append_mode)
+
+    if extrapolate_layers is not None:
+        # 14B path: scale the measured few-layer cost to the full depth.
+        # (The full 40-layer model does not fit one 16 GB v5e chip —
+        # BASELINE.md "Min GPU memory, 14B: >=80GB"; the sharded multi-chip
+        # path is exercised by dryrun_multichip / tests.)
+        scale = extrapolate_layers / cfg.num_layers
+        window_s = extrap_window_s * scale
+        frames_per_s = plan.num_frames / window_s
+        full_cfg = dict(cfg, num_layers=extrapolate_layers)
+        from mmpl_tpu.core.config import DotDict
+        total = window_flops(DotDict(full_cfg), plan, S, steps, CFG_FORWARDS)
+        achieved = total / window_s / 1e12
+        h100 = 989e12 * 0.45
+        vs = frames_per_s / (plan.num_frames / (total / h100))
+        log(f"14B extrapolated ({cfg.num_layers}L measured -> "
+            f"{extrapolate_layers}L): window={window_s:.1f}s "
+            f"frames/s/chip={frames_per_s:.4f} ~{achieved:.1f} TFLOP/s")
+        print(json.dumps({
+            "metric": "latent_frames_per_sec_per_chip_14B",
+            "value": round(frames_per_s, 4),
+            "unit": "frames/s",
+            "vs_baseline": round(vs, 4),
+            "extrapolated_from_layers": cfg.num_layers,
+        }))
+        return
+
+    # --- measured end-to-end windows (VERDICT r1 item 3) ------------------
+    out, window_times = bench_real_pipeline(cfg, plan, B, C, H, W, dtype,
+                                            steps, n_windows)
+    window_s_measured = float(np.median(window_times))
+    p50_chunk = window_s_measured   # one window == one pipeline chunk
+
+    # --- streaming VAE decode ---------------------------------------------
+    vae_decode_s = None
+    if os.environ.get("BENCH_SKIP_VAE", "0") != "1":
+        from mmpl_tpu.models import vae as vae_mod
+        vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(20),
+                                             jnp.float32)
+        lat_h, lat_w = H, W
+        dec = jax.jit(vae_mod.decode_streaming)
+        t0 = time.perf_counter()
+        vid = dec(vae_params, out.astype(jnp.float32))
+        sync(vid)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vid = dec(vae_params, out.astype(jnp.float32))
+        sync(vid)
+        vae_decode_s = time.perf_counter() - t0
+        log(f"vae decode: {vae_decode_s:.1f}s (compile+run {compile_s:.1f}s) "
+            f"video={vid.shape}")
+
+    frames_per_s = plan.num_frames / window_s_measured
+    total = window_flops(cfg, plan, S, steps, CFG_FORWARDS)
+    achieved_tflops = total / window_s_measured / 1e12
+
     h100_flops = 989e12 * 0.45
-    ref_window_s = (CFG_FORWARDS * total_flops * steps) / h100_flops
-    ref_frames_per_s = plan.num_frames / ref_window_s
-    vs = frames_per_s / ref_frames_per_s
+    ref_window_s = total / h100_flops
+    vs = frames_per_s / (plan.num_frames / ref_window_s)
+
+    wall = window_s_measured + (vae_decode_s or 0.0)
+    from mmpl_tpu.core.geometry import pixel_frames
+    px_per_s = pixel_frames(plan.num_frames) / wall
+
+    log(f"window_measured={window_s_measured:.1f}s (extrap {extrap_window_s:.1f}s)"
+        f"  frames/s/chip={frames_per_s:.4f}  achieved~{achieved_tflops:.1f}"
+        f" TFLOP/s  pixel-frames/s={px_per_s:.3f}")
 
     print(json.dumps({
         "metric": "latent_frames_per_sec_per_chip",
         "value": round(frames_per_s, 4),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        "window_s_measured": round(window_s_measured, 2),
+        "window_s_extrapolated": round(extrap_window_s, 2),
+        "p50_chunk_latency_s": round(p50_chunk, 2),
+        "vae_decode_s": None if vae_decode_s is None else round(vae_decode_s,
+                                                                2),
+        "pixel_frames_per_sec_per_chip": round(px_per_s, 4),
+        "achieved_tflops": round(achieved_tflops, 1),
     }))
 
 

@@ -351,11 +351,6 @@ def embed_image_clip(params: Params, clip_fea: jnp.ndarray) -> jnp.ndarray:
 # Bidirectional WanModel forward (teacher / non-causal paths)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg_key",))
-def _noop(cfg_key):  # pragma: no cover - placeholder to keep jit imports used
-    return None
-
-
 def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
                 context: jnp.ndarray,
                 clip_fea: Optional[jnp.ndarray] = None,

@@ -56,6 +56,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                       t: jnp.ndarray, ctx_kv: Params, kv_cache: Params,
                       schedule: GroupSchedule,
                       y: Optional[jnp.ndarray] = None,
+                      rope_cs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                       ) -> Tuple[jnp.ndarray, Params]:
     """One forward of the group's frames through the whole trunk.
 
@@ -69,6 +70,10 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
       kv_cache: pytree from `init_kv_cache`; updated copy is returned.
       schedule: static GroupSchedule for this group.
       y: optional i2v channel-concat conditioning [B, G, C', H, W].
+      rope_cs: optional (cos, sin) [G*S, d//2] tables overriding the static
+        per-schedule tables — the rolling-KV path computes them on device
+        from a *traced* start frame so one program serves every AR step
+        (causal_rope_apply's dynamic `start_frame`, causal_model.py:193-199).
 
     Returns (flow_pred [B, G, C_out, H, W], new_kv_cache).
     """
@@ -83,8 +88,11 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
     x = patchify(params["patch_embedding"], latents, cfg.patch_size)
     e, e0 = time_embed(params, cfg, t)
 
-    cos_np, sin_np = rope_table(schedule.frames, grid[0], grid[1], d)
-    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    if rope_cs is not None:
+        cos, sin = rope_cs
+    else:
+        cos_np, sin_np = rope_table(schedule.frames, grid[0], grid[1], d)
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     # Attention over the visible set = cached *other* frames + the group's
     # own in-flight K/V.  Attention is permutation-invariant over KV, so we

@@ -90,3 +90,38 @@ def window_rope_table(num_frames: int, grid_h: int, grid_w: int,
                       head_dim: int) -> Tuple[np.ndarray, np.ndarray]:
     """Dense table for a contiguous [0, num_frames) window (bidirectional DiT)."""
     return rope_table(tuple(range(num_frames)), grid_h, grid_w, head_dim)
+
+
+def dynamic_rope_table(start_frame: jnp.ndarray, num_frames: int,
+                       grid_h: int, grid_w: int, head_dim: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [F*H*W, head_dim//2] for frames [start, start+F) where
+    `start_frame` is a *traced* scalar — the rolling-KV path's equivalent of
+    `causal_rope_apply(..., start_frame=...)` (causal_model.py:27-55,193-199).
+
+    Only the temporal band depends on the frame position; the spatial bands
+    are compile-time constants.  Device trig on [F, dt/2] is negligible.
+    """
+    dt, dh, dw = band_dims(head_dim)
+    ft = jnp.asarray(_inv_freqs(dt), jnp.float32)                # [dt/2]
+    f = start_frame.astype(jnp.float32) + jnp.arange(num_frames,
+                                                     dtype=jnp.float32)
+    ang_t = f[:, None] * ft[None, :]                             # [F, dt/2]
+
+    h = np.arange(grid_h, dtype=np.float64)
+    w = np.arange(grid_w, dtype=np.float64)
+    ang_h = np.einsum("h,c->hc", h, _inv_freqs(dh))              # [H, dh/2]
+    ang_w = np.einsum("w,c->wc", w, _inv_freqs(dw))              # [W, dw/2]
+    H, W = grid_h, grid_w
+    ang_s = np.concatenate([
+        np.broadcast_to(ang_h[:, None, :], (H, W, dh // 2)),
+        np.broadcast_to(ang_w[None, :, :], (H, W, dw // 2)),
+    ], axis=-1).reshape(H * W, (dh + dw) // 2).astype(np.float32)
+    ang_s = jnp.asarray(ang_s)                                   # [S, ds/2]
+
+    F, S = num_frames, H * W
+    ang = jnp.concatenate([
+        jnp.broadcast_to(ang_t[:, None, :], (F, S, dt // 2)),
+        jnp.broadcast_to(ang_s[None, :, :], (F, S, (dh + dw) // 2)),
+    ], axis=-1).reshape(F * S, head_dim // 2)
+    return jnp.cos(ang), jnp.sin(ang)

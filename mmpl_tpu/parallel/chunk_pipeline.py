@@ -68,17 +68,37 @@ class ChunkParallelPipeline:
     def __init__(self, cfg, params, vae_params,
                  devices: Optional[Sequence] = None,
                  plan: Optional[ChunkPlan] = None,
+                 stage_meshes: Optional[Sequence] = None,
                  **pipe_kwargs):
+        """stage_meshes: optional list of jax.sharding.Mesh, one per pipeline
+        stage.  Each stage's DiT params are (fsdp, tp)-sharded over its own
+        sub-mesh — required for 14B, which does not fit one chip.  Without it
+        each stage is one device with replicated params (the reference's
+        one-pipeline-per-GPU layout)."""
         self.plan = plan or t2v_plan()
-        self.devices = list(devices if devices is not None else jax.devices())
         self.stages = []
+        if stage_meshes is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.devices = [d for m in stage_meshes
+                            for d in m.devices.flatten()]
+            for mesh in stage_meshes:
+                repl = NamedSharding(mesh, P())
+                vp = jax.device_put(vae_params, repl)
+                pipe = CausalFPSInferencePipeline(
+                    cfg, params, plan=self.plan, mesh=mesh, **pipe_kwargs)
+                bridge_fn, _ = make_bridge_fn(vp,
+                                              len(self.plan.handoff_frames))
+                self.stages.append({"put": repl, "pipe": pipe, "vae": vp,
+                                    "bridge": bridge_fn})
+            return
+        self.devices = list(devices if devices is not None else jax.devices())
         for dev in self.devices:
             p = jax.device_put(params, dev)
             vp = jax.device_put(vae_params, dev)
             pipe = CausalFPSInferencePipeline(cfg, p, plan=self.plan,
                                               **pipe_kwargs)
             bridge_fn, _ = make_bridge_fn(vp, len(self.plan.handoff_frames))
-            self.stages.append({"device": dev, "pipe": pipe, "vae": vp,
+            self.stages.append({"put": dev, "pipe": pipe, "vae": vp,
                                 "bridge": bridge_fn})
 
     def generate(self, noise_per_chunk: Sequence[jnp.ndarray],
@@ -98,7 +118,7 @@ class ChunkParallelPipeline:
         handoff = None
         for ci, noise in enumerate(noise_per_chunk):
             stage = self.stages[ci % len(self.stages)]
-            dev = stage["device"]
+            dev = stage["put"]
             rng, sub = jax.random.split(rng)
             noise_d = jax.device_put(noise, dev)
             cond_d = jax.device_put(cond_context, dev)

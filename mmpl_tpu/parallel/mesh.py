@@ -114,11 +114,61 @@ def shard_params_for_inference(params, mesh: Mesh):
     return jax.device_put(params, dit_param_shardings(mesh, params))
 
 
-def shard_kv_cache(cache, mesh: Mesh, tp_axis: str = "tp"):
-    """KV cache [L, B, SLOTS, S, N, d]: shard the head dim over tp."""
+def kv_cache_shardings(mesh: Mesh, cache, dp_axis: str = "dp",
+                       tp_axis: str = "tp"):
+    """NamedSharding pytree for a KV cache of leaves [L, B, SLOTS, S, N, d].
+
+    Batch (axis 1 — the stacked [cond; uncond] CFG pair) shards over `dp`,
+    heads (axis -2) over `tp`; axes that don't exist on the mesh or don't
+    divide the dim are dropped.  Works on concrete arrays or ShapeDtypeStructs
+    (usable as jit `out_shardings` so a 14B cache is *created* sharded).
+    """
     def spec(leaf):
         dims = [None] * leaf.ndim
-        if leaf.ndim >= 2 and leaf.shape[-2] % mesh.shape[tp_axis] == 0:
+        if (dp_axis in mesh.shape and leaf.ndim >= 2
+                and leaf.shape[1] % mesh.shape[dp_axis] == 0):
+            dims[1] = dp_axis
+        if (tp_axis in mesh.shape and leaf.ndim >= 2
+                and leaf.shape[-2] % mesh.shape[tp_axis] == 0):
             dims[-2] = tp_axis
         return NamedSharding(mesh, P(*dims))
-    return jax.tree.map(lambda x: jax.device_put(x, spec(x)), cache)
+    return jax.tree.map(spec, cache)
+
+
+def shard_kv_cache(cache, mesh: Mesh, tp_axis: str = "tp"):
+    """Place a KV cache [L, B, SLOTS, S, N, d] with dp-batch / tp-head
+    shardings (see kv_cache_shardings)."""
+    return jax.device_put(cache, kv_cache_shardings(mesh, cache,
+                                                    tp_axis=tp_axis))
+
+
+def context_kv_shardings(mesh: Mesh, ctx_kv, dp_axis: str = "dp",
+                         tp_axis: str = "tp"):
+    """NamedSharding pytree for precomputed cross-attn K/V
+    (leaves [L, B, T, N, d]): batch over dp, heads over tp."""
+    def spec(leaf):
+        dims = [None] * leaf.ndim
+        if (dp_axis in mesh.shape and leaf.ndim >= 2
+                and leaf.shape[1] % mesh.shape[dp_axis] == 0):
+            dims[1] = dp_axis
+        if (tp_axis in mesh.shape and leaf.ndim >= 2
+                and leaf.shape[-2] % mesh.shape[tp_axis] == 0):
+            dims[-2] = tp_axis
+        return NamedSharding(mesh, P(*dims))
+    return jax.tree.map(spec, ctx_kv)
+
+
+def make_stage_meshes(n_stages: int, shape: Optional[Dict[str, int]] = None,
+                      devices: Optional[Sequence] = None):
+    """Split the device list into `n_stages` equal sub-meshes.
+
+    Each chunk-pipeline stage gets its own (dp, fsdp, tp) mesh so a 14B
+    stage can itself be model-sharded — the TPU version of the reference's
+    one-pipeline-per-GPU layout (Wan_fps_inference_parallel_4gpu_20s.py:64-67)
+    generalised to one-pipeline-per-submesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) % n_stages == 0, (len(devices), n_stages)
+    per = len(devices) // n_stages
+    return [make_mesh(shape, devices=devices[i * per:(i + 1) * per])
+            for i in range(n_stages)]

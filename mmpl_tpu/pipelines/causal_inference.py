@@ -52,14 +52,32 @@ class CausalInferencePipeline:
                  timestep_shift: float = 8.0,
                  independent_first_frame: bool = False,
                  local_attn_frames: int = 21,
+                 max_attention_frames: Optional[int] = None,
+                 sink_frames: int = 0,
                  warp_denoising_step: bool = False,
                  dtype=jnp.bfloat16):
+        """max_attention_frames: enables the ROLLING KV cache — a fixed
+        `max_attention_frames`-slot buffer in recency order with the first
+        `sink_frames` pinned (the reference's max_attention_size truncation
+        + sink tokens, causal_model.py:203-226, :417-418).  Memory and
+        compile count stay constant for arbitrarily long AR generation:
+        every steady-state block reuses ONE compiled program (write slots
+        are static, RoPE comes from a traced start frame).  When None, the
+        cache grows with the video (one program per (start, size) pair) —
+        attention is still truncated to the last `local_attn_frames`.
+        """
         self.cfg = cfg
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise
         self.independent_first_frame = independent_first_frame
-        self.local_attn_frames = local_attn_frames
+        self.local_attn_frames = (max_attention_frames
+                                  if max_attention_frames is not None
+                                  else local_attn_frames)
+        self.max_attention_frames = max_attention_frames
+        self.sink_frames = sink_frames
+        if max_attention_frames is not None:
+            assert sink_frames < max_attention_frames
         self.dtype = dtype
         self.scheduler = FlowMatchScheduler(shift=timestep_shift,
                                             sigma_min=0.0,
@@ -76,6 +94,7 @@ class CausalInferencePipeline:
         self.denoising_step_list = tuple(steps)
         self._block_fns = {}
         self._commit_fns = {}
+        self._rolling_fn = None
 
     # ------------------------------------------------------------------
 
@@ -109,6 +128,75 @@ class CausalInferencePipeline:
             params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
             schedule)
         return x, cache
+
+    # -- rolling steady state: ONE program for every block past capacity --
+
+    def _rolling_schedule(self, G: int) -> GroupSchedule:
+        """Static schedule for the recency-ordered rolling cache: write at
+        the last G slots, attend to every other slot + own in-flight K/V.
+        (Dummy frame ids — RoPE comes from the traced start frame.)"""
+        cap, s0 = self.max_attention_frames, self.sink_frames
+        other = tuple(range(cap - G))
+        return GroupSchedule(
+            index=-1, frames=tuple(range(10 ** 6, 10 ** 6 + G)),
+            append_mode=False,
+            write_slots=tuple(range(cap - G, cap)),
+            visible_frames=other, visible_slots=other,
+            anchor_group=False)
+
+    def _denoise_block_rolling(self, params, ctx_kv, cache, noisy,
+                               start_frame, rng):
+        """Steady-state AR block: evict the oldest non-sink block (static
+        slot rotation into recency order), then denoise + commit exactly
+        like the static path.  `start_frame` is traced, so this compiles
+        once regardless of video length (causal_model.py:203-226)."""
+        from ..ops.rope import dynamic_rope_table
+        B, G = noisy.shape[0], noisy.shape[1]
+        H, W = noisy.shape[3], noisy.shape[4]
+        d = self.cfg.dim // self.cfg.num_heads
+        s0 = self.sink_frames
+        sched = self._rolling_schedule(G)
+
+        def evict(x):
+            # [L, B, SLOTS, S, n, d]: rotate the evicted block to the end
+            # (it is overwritten by this block's commit)
+            return jnp.concatenate(
+                [x[:, :, :s0], x[:, :, s0 + G:], x[:, :, s0:s0 + G]], axis=2)
+
+        cache = {"k": evict(cache["k"]), "v": evict(cache["v"])}
+        rope_cs = dynamic_rope_table(start_frame, G, H // 2, W // 2, d)
+
+        x = noisy.astype(jnp.float32)
+        steps = self.denoising_step_list
+        for i, t_int in enumerate(steps):
+            tt = jnp.full((B, G), float(t_int), jnp.float32)
+            flow, cache = fps_forward_group(
+                params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
+                sched, rope_cs=rope_cs)
+            x0 = self.scheduler.convert_flow_pred_to_x0(
+                flow.reshape((-1,) + flow.shape[2:]).astype(jnp.float32),
+                x.reshape((-1,) + x.shape[2:]),
+                tt.reshape(-1)).reshape(x.shape)
+            if i < len(steps) - 1:
+                rng, k = jax.random.split(rng)
+                noise = jax.random.normal(k, x.shape, jnp.float32)
+                nt = jnp.full((B * G,), float(steps[i + 1]), jnp.float32)
+                x = self.scheduler.add_noise(
+                    x0.reshape((-1,) + x.shape[2:]),
+                    noise.reshape((-1,) + x.shape[2:]), nt).reshape(x.shape)
+            else:
+                x = x0
+        tt = jnp.full((B, G), float(self.context_noise), jnp.float32)
+        _, cache = fps_forward_group(
+            params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
+            sched, rope_cs=rope_cs)
+        return x, cache
+
+    def _get_rolling_fn(self):
+        if self._rolling_fn is None:
+            self._rolling_fn = jax.jit(self._denoise_block_rolling,
+                                       donate_argnums=(2,))
+        return self._rolling_fn
 
     def _commit_block(self, schedule: GroupSchedule, params, ctx_kv, cache,
                       clean):
@@ -146,9 +234,11 @@ class CausalInferencePipeline:
         emb = embed_text(self.params, cond_context.astype(self.dtype))
         ctx_kv = precompute_context_kv(self.params, self.cfg, emb)
         total = n_init + F
+        cap = self.max_attention_frames
+        num_slots = cap if cap is not None else max(total,
+                                                    self.local_attn_frames)
         cache = init_kv_cache(self.cfg, B, H * W // 4,
-                              num_slots=max(total, self.local_attn_frames),
-                              dtype=self.dtype)
+                              num_slots=num_slots, dtype=self.dtype)
         outputs = []
 
         start = 0
@@ -181,8 +271,20 @@ class CausalInferencePipeline:
         for g in sizes:
             rng, sub = jax.random.split(rng)
             noisy = noise[:, consumed:consumed + g]
-            fn = self._get(self._block_fns, self._denoise_block, start, g)
-            x, cache = fn(self.params, ctx_kv, cache, noisy, sub)
+            if cap is not None and start + g > cap:
+                # steady state: fixed cache, ONE compiled program
+                assert start >= cap and (start - cap) % g == 0, (
+                    f"rolling KV: block [{start},{start + g}) straddles the "
+                    f"{cap}-frame cache boundary; pick max_attention_frames "
+                    f"with cap % block == n_warmup_frames % block "
+                    f"(here block={g})")
+                x, cache = self._get_rolling_fn()(
+                    self.params, ctx_kv, cache, noisy,
+                    jnp.asarray(start, jnp.int32), sub)
+            else:
+                fn = self._get(self._block_fns, self._denoise_block, start,
+                               g)
+                x, cache = fn(self.params, ctx_kv, cache, noisy, sub)
             outputs.append(x)
             consumed += g
             start += g

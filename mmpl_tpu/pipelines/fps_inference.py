@@ -28,6 +28,7 @@ encoder); VAE decode is a separate stage.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -51,8 +52,20 @@ class CausalFPSInferencePipeline:
                  num_train_timesteps: int = 1000,
                  reseed_seed: int = 0,
                  sample_solver: str = "unipc",
+                 mesh=None, shard_params: bool = True,
                  dtype=jnp.bfloat16):
+        """mesh: optional jax.sharding.Mesh with (dp, fsdp, tp) axes.  When
+        given, params are placed with (fsdp, tp) NamedShardings (unless
+        `shard_params=False` because the caller pre-sharded them), the KV
+        cache is *created* sharded (dp over the CFG pair batch, tp over
+        heads) and the batched CFG pair is constrained to the dp axis — the
+        14B path: 40 layers x 5120 dim does not fit one 16 GB v5e
+        (wan/configs/wan_t2v_14B.py:21-25, README.md:29)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and shard_params:
+            from ..parallel.mesh import shard_params_for_inference
+            params = shard_params_for_inference(params, mesh)
         self.params = params
         self.plan = plan or t2v_plan()
         self.guidance_scale = float(guidance_scale)
@@ -81,6 +94,44 @@ class CausalFPSInferencePipeline:
 
         self._group_fns: Dict[int, callable] = {}
         self._commit_fns: Dict[int, callable] = {}
+        self._ctx_fn = None
+        self._assemble_fn = None
+        #: host-side dispatch time per group of the last inference() call
+        self.phase_times: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # sharding helpers (no-ops when mesh is None)
+    # ------------------------------------------------------------------
+
+    def _constrain_pair(self, lat2: jnp.ndarray) -> jnp.ndarray:
+        """Pin the stacked [cond; uncond] batch to the dp axis — the TPU
+        form of the reference's cond/uncond two-GPU split
+        (casual_fps_inference.py:41-51,346-374)."""
+        if self.mesh is None or "dp" not in self.mesh.shape:
+            return lat2
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if lat2.shape[0] % self.mesh.shape["dp"] != 0:
+            return lat2
+        spec = P("dp", *([None] * (lat2.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            lat2, NamedSharding(self.mesh, spec))
+
+    def _replicate(self, x):
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _make_cache(self, batch2: int, tokens_per_frame: int):
+        """Create the KV cache; under a mesh it is created already sharded
+        (out_shardings) so a 14B cache never materialises replicated."""
+        mk = functools.partial(init_kv_cache, self.cfg, batch2,
+                               tokens_per_frame, KV_CACHE_SLOTS, self.dtype)
+        if self.mesh is None:
+            return mk()
+        from ..parallel.mesh import kv_cache_shardings
+        sh = kv_cache_shardings(self.mesh, jax.eval_shape(mk))
+        return jax.jit(mk, out_shardings=sh)()
 
     # ------------------------------------------------------------------
     # per-group programs
@@ -114,6 +165,7 @@ class CausalFPSInferencePipeline:
             cache, state = carry
             coef, t = step_in
             lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            lat2 = self._constrain_pair(lat2)
             tt = jnp.broadcast_to(t, (2 * B, G))
             flow2, cache = fps_forward_group(
                 params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
@@ -132,7 +184,7 @@ class CausalFPSInferencePipeline:
 
         if not schedule.append_mode:
             # clean-KV commit (t = 0 rerun)
-            lat2 = jnp.concatenate([final, final], 0)
+            lat2 = self._constrain_pair(jnp.concatenate([final, final], 0))
             tt = jnp.zeros((2 * B, G), jnp.float32)
             _, cache = fps_forward_group(
                 params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
@@ -144,7 +196,8 @@ class CausalFPSInferencePipeline:
         """t=0 context commit only (initial-latent group0 path,
         casual_fps_inference.py:407-439)."""
         B, G = clean.shape[0], schedule.num_frames
-        lat2 = jnp.concatenate([clean, clean], 0).astype(self.dtype)
+        lat2 = self._constrain_pair(
+            jnp.concatenate([clean, clean], 0).astype(self.dtype))
         tt = jnp.zeros((2 * B, G), jnp.float32)
         _, cache = fps_forward_group(params, self.cfg, lat2, tt, ctx_kv2,
                                      cache, schedule)
@@ -171,20 +224,37 @@ class CausalFPSInferencePipeline:
     def prepare_context(self, cond_context: jnp.ndarray,
                         uncond_context: jnp.ndarray,
                         clip_fea: Optional[jnp.ndarray] = None):
-        """Precompute stacked per-layer cross-attn K/V for [cond; uncond]."""
-        ctx = jnp.concatenate([cond_context, uncond_context], 0)
-        emb = embed_text(self.params, ctx.astype(self.dtype))
-        img = None
-        if clip_fea is not None:
-            img = embed_image_clip(
-                self.params,
-                jnp.concatenate([clip_fea, clip_fea], 0).astype(self.dtype))
-        return precompute_context_kv(self.params, self.cfg, emb, img)
+        """Precompute stacked per-layer cross-attn K/V for [cond; uncond].
+
+        Jitted (eager ops compile per-op on TPU); under a mesh the K/V
+        leaves come out dp-batch / tp-head sharded.
+        """
+        if self._ctx_fn is None:
+            def impl(params, cond, uncond, clip):
+                ctx = jnp.concatenate([cond, uncond], 0)
+                emb = embed_text(params, ctx.astype(self.dtype))
+                img = None
+                if clip is not None:
+                    img = embed_image_clip(
+                        params, jnp.concatenate([clip, clip], 0).astype(
+                            self.dtype))
+                ckv = precompute_context_kv(params, self.cfg, emb, img)
+                if self.mesh is not None:
+                    from ..parallel.mesh import context_kv_shardings
+                    ckv = jax.lax.with_sharding_constraint(
+                        ckv, context_kv_shardings(self.mesh, ckv))
+                return ckv
+            self._ctx_fn = jax.jit(impl)
+
+        return self._ctx_fn(
+            self.params, self._replicate(cond_context),
+            self._replicate(uncond_context), self._replicate(clip_fea))
 
     def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
                   uncond_context: jnp.ndarray,
                   initial_latent: Optional[jnp.ndarray] = None,
                   rng: Optional[jax.Array] = None,
+                  clip_fea: Optional[jnp.ndarray] = None,
                   on_anchor=None) -> jnp.ndarray:
         """Denoise one window.
 
@@ -198,17 +268,33 @@ class CausalFPSInferencePipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         B, F, C, H, W = noise.shape
         assert F == self.plan.num_frames
-        ctx_kv2 = self.prepare_context(cond_context, uncond_context)
-        cache = init_kv_cache(self.cfg, 2 * B, H * W // 4, KV_CACHE_SLOTS,
-                              self.dtype)
-        output = jnp.zeros((B, F, C, H, W), jnp.float32)
+        noise = self._replicate(noise)
+        initial_latent = self._replicate(initial_latent)
+        ctx_kv2 = self.prepare_context(cond_context, uncond_context,
+                                       clip_fea=clip_fea)
+        cache = self._make_cache(2 * B, H * W // 4)
         zeros1 = jnp.zeros((B, 1, C, H, W), jnp.float32)
 
         n_init = 0 if initial_latent is None else initial_latent.shape[1]
 
+        # frame -> (group index, position within the group's output)
+        frame_pos = {f: (gi, pi)
+                     for gi, g in enumerate(self.plan.groups)
+                     for pi, f in enumerate(g.frames)}
+        # Per-group outputs are kept separate and assembled once at the end
+        # under jit — scattering into a full-window buffer between groups
+        # would compile ~12 eager one-off TPU programs and round-trip the
+        # window through HBM per group.
+        group_out: List[Optional[jnp.ndarray]] = [None] * len(self.plan.groups)
+
+        def frame_latent(f: int) -> jnp.ndarray:
+            gi, pi = frame_pos[f]
+            return group_out[gi][:, pi:pi + 1]
+
         consumed = 0
+        self.phase_times = {}
         for gi, group in enumerate(self.plan.groups):
-            frames = jnp.asarray(group.frames)
+            t0 = time.perf_counter()
             if n_init > 0 and consumed < n_init:
                 # context frames are committed clean, group by group
                 # (t2v group0 = 2 frames; i2v groups 0/1 = 1 frame each)
@@ -216,22 +302,36 @@ class CausalFPSInferencePipeline:
                 clean = initial_latent[:, consumed:consumed + take]
                 cache = self._get_commit_fn(gi)(
                     self.params, ctx_kv2, cache, clean.astype(jnp.float32))
-                output = output.at[:, frames].set(clean.astype(jnp.float32))
+                group_out[gi] = clean.astype(jnp.float32)
                 consumed += take
+                self.phase_times[f"group{gi}_dispatch_s"] = (
+                    time.perf_counter() - t0)
                 continue
 
             rng, sub = jax.random.split(rng)
             if group.reseed:
                 (p0, s0), (p1, s1) = group.reseed
-                rf = output[:, s0:s0 + 1]
-                rl = output[:, s1:s1 + 1]
+                rf, rl = frame_latent(s0), frame_latent(s1)
             else:
                 rf = rl = zeros1
             latents, cache = self._get_group_fn(gi)(
-                self.params, ctx_kv2, cache, noise[:, frames], rf, rl, sub)
-            output = output.at[:, frames].set(latents)
+                self.params, ctx_kv2, cache, noise[:, list(group.frames)],
+                rf, rl, sub)
+            group_out[gi] = latents
+            self.phase_times[f"group{gi}_dispatch_s"] = (
+                time.perf_counter() - t0)
 
             if group.anchor_group and on_anchor is not None:
-                on_anchor(output[:, jnp.asarray(self.plan.handoff_frames)])
+                on_anchor(jnp.concatenate(
+                    [frame_latent(f) for f in self.plan.handoff_frames],
+                    axis=1))
 
-        return output
+        if self._assemble_fn is None:
+            order = tuple(frame_pos[f] for f in range(F))
+
+            def assemble(outs):
+                return jnp.concatenate(
+                    [outs[gi][:, pi:pi + 1] for gi, pi in order], axis=1)
+
+            self._assemble_fn = jax.jit(assemble)
+        return self._assemble_fn(tuple(group_out))
