@@ -237,6 +237,50 @@ def gate(x: jnp.ndarray, g: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     return (xs * g.astype(x.dtype)).reshape(B, L, D)
 
 
+def fuse_qkv_params(params: Params) -> Params:
+    """Concatenate each block's q/k/v kernels into one [D, 3D] projection.
+
+    Done once at load time (pipelines call this on the inference params):
+    the fused gemm reads the activations once instead of three times and
+    gives XLA one large MXU op per layer instead of three.  Works on the
+    stacked [L, D, D] block leaves; `qkv_project` dispatches on the fused
+    entry, so fused and unfused pytrees both run everywhere.
+    """
+    sa = dict(params["blocks"]["self_attn"])
+    qkv = {"kernel": jnp.concatenate(
+        [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1)}
+    if "bias" in sa["q"]:
+        qkv["bias"] = jnp.concatenate(
+            [sa["q"]["bias"], sa["k"]["bias"], sa["v"]["bias"]], axis=-1)
+    fused_sa = {k: v for k, v in sa.items() if k not in ("q", "k", "v")}
+    fused_sa["qkv"] = qkv
+    blocks = dict(params["blocks"])
+    blocks["self_attn"] = fused_sa
+    return {**params, "blocks": blocks}
+
+
+def qkv_project(sp: Params, x: jnp.ndarray, n: int, d: int,
+                cos: Optional[jnp.ndarray] = None,
+                sin: Optional[jnp.ndarray] = None):
+    """Self-attention q/k/v projection: fused or per-matrix kernels, QK
+    RMS-norm (WanSelfAttention.qk_norm, model.py:102-156), optional RoPE.
+
+    Returns (q, k, v) as [B, L, n, d]."""
+    B, L, _ = x.shape
+    if "qkv" in sp:
+        q, k, v = jnp.split(linear(sp["qkv"], x), 3, axis=-1)
+    else:
+        q, k, v = (linear(sp["q"], x), linear(sp["k"], x),
+                   linear(sp["v"], x))
+    q = rms_norm(q, sp["norm_q"]["weight"]).reshape(B, L, n, d)
+    k = rms_norm(k, sp["norm_k"]["weight"]).reshape(B, L, n, d)
+    v = v.reshape(B, L, n, d)
+    if cos is not None:
+        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
+        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+    return q, k, v
+
+
 def cross_attention(p: Params, x: jnp.ndarray, ctx_k: jnp.ndarray,
                     ctx_v: jnp.ndarray, num_heads: int,
                     img_k: Optional[jnp.ndarray] = None,
@@ -391,13 +435,7 @@ def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
 
     def self_attn(sp, xm):
         L = xm.shape[1]
-        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
-            B, L, n, d)
-        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
-            B, L, n, d)
-        v = linear(sp["v"], xm).reshape(B, L, n, d)
-        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
-        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        q, k, v = qkv_project(sp, xm, n, d, cos, sin)
         out = attention(q, k, v, mask=attn_mask)
         return linear(sp["o"], out.reshape(B, L, -1))
 

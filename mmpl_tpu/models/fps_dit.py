@@ -35,8 +35,8 @@ from ..core.geometry import GroupSchedule, KV_CACHE_SLOTS
 from ..ops.attention import attention
 from ..ops.rope import apply_rope, rope_table
 from .dit import (Params, block_forward, head_forward, linear, patchify,
-                  precompute_context_kv, embed_text, rms_norm, time_embed,
-                  unpatchify)
+                  precompute_context_kv, embed_text, qkv_project,
+                  time_embed, unpatchify)
 
 
 def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
@@ -109,13 +109,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
     def self_attn(sp, ck, cv, xm):
         """Planned-cache attention; returns (out, own_k, own_v)."""
         L = xm.shape[1]
-        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
-            B, L, n, d)
-        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
-            B, L, n, d)
-        v = linear(sp["v"], xm).reshape(B, L, n, d)
-        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
-        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        q, k, v = qkv_project(sp, xm, n, d, cos, sin)
 
         if other_slots:
             kv_k = jnp.concatenate(
@@ -232,13 +226,7 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
 
     def self_attn(sp, xm):
         L = xm.shape[1]
-        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
-            B, L, n, d)
-        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
-            B, L, n, d)
-        v = linear(sp["v"], xm).reshape(B, L, n, d)
-        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
-        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        q, k, v = qkv_project(sp, xm, n, d, cos, sin)
         if use_kernel:
             from ..ops.attention import frame_masked_attention
             out = frame_masked_attention(q, k, v, frame_ids, frame_ids,

@@ -107,3 +107,84 @@ def masked_mean_pool(states: jnp.ndarray, ids: jnp.ndarray,
     """XLMRobertaWithHead's pooling (clip.py:315-322)."""
     mask = (ids != pad_id).astype(states.dtype)[:, :, None]
     return (states * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
+
+
+def init_xlm_roberta_head_params(key, dim: int = 1024, out_dim: int = 1024,
+                                 dtype=jnp.float32) -> Params:
+    """Projection head of XLMRobertaWithHead (clip.py:303-313):
+    Linear(dim, mid, bias=False) -> GELU -> Linear(mid, out_dim, bias=False)
+    with mid = (dim + out_dim) // 2."""
+    mid = (dim + out_dim) // 2
+    k1, k2 = jax.random.split(key)
+
+    def lin(k, din, dout):
+        a = 1.0 / math.sqrt(din)
+        return {"kernel": jax.random.uniform(k, (din, dout), jnp.float32,
+                                             -a, a).astype(dtype)}
+
+    return {"fc1": lin(k1, dim, mid), "fc2": lin(k2, mid, out_dim)}
+
+
+def xlm_roberta_with_head(params: Params, head: Params, ids: jnp.ndarray,
+                          cfg: dict = XLM_ROBERTA_LARGE) -> jnp.ndarray:
+    """Full CLIP text tower (XLMRobertaWithHead.forward, clip.py:315-325):
+    encode -> masked mean pool -> projection.  Returns [B, out_dim]."""
+    states = xlm_roberta_encode(params, ids, cfg)
+    pooled = masked_mean_pool(states, ids, cfg["pad_id"])
+    h = jax.nn.gelu(linear(head["fc1"], pooled), approximate=False)
+    return linear(head["fc2"], h)
+
+
+def convert_xlm_roberta_text(sd: Dict[str, np.ndarray],
+                             cfg: dict = XLM_ROBERTA_LARGE,
+                             dtype=np.float32):
+    """torch XLMRobertaWithHead state dict -> (backbone, head) pytrees.
+
+    Accepts both a bare text-tower dict and a full XLMRobertaCLIP dict
+    (keys prefixed `textual.`, clip.py:393-395).  Torch Linear weights
+    [out, in] are stored transposed; `head.0`/`head.2` are the bias-free
+    projection (clip.py:310-313)."""
+    if any(k.startswith("textual.") for k in sd):
+        sd = {k[len("textual."):]: v for k, v in sd.items()
+              if k.startswith("textual.")}
+
+    def lin(name):
+        p = {"kernel": sd[f"{name}.weight"].T.astype(dtype)}
+        if f"{name}.bias" in sd:
+            p["bias"] = sd[f"{name}.bias"].astype(dtype)
+        return p
+
+    def nrm(name):
+        return {"weight": sd[f"{name}.weight"].astype(dtype),
+                "bias": sd[f"{name}.bias"].astype(dtype)}
+
+    def block(i):
+        pre = f"blocks.{i}"
+        return {"attn": {"q": lin(f"{pre}.attn.q"),
+                         "k": lin(f"{pre}.attn.k"),
+                         "v": lin(f"{pre}.attn.v"),
+                         "o": lin(f"{pre}.attn.o")},
+                "norm1": nrm(f"{pre}.norm1"),
+                "ffn": {"fc1": lin(f"{pre}.ffn.0"),
+                        "fc2": lin(f"{pre}.ffn.2")},
+                "norm2": nrm(f"{pre}.norm2")}
+
+    blocks = [block(i) for i in range(cfg["num_layers"])]
+    params = jax.tree.map(jnp.asarray, {
+        "token_embedding": sd["token_embedding.weight"].astype(dtype),
+        "pos_embedding": sd["pos_embedding.weight"].astype(dtype),
+        "type_embedding": sd["type_embedding.weight"].astype(dtype),
+        "norm": nrm("norm"),
+        "blocks": jax.tree.map(lambda *xs: np.stack(xs), *blocks),
+    })
+    head = jax.tree.map(jnp.asarray, {"fc1": lin("head.0"),
+                                      "fc2": lin("head.2")})
+    return params, head
+
+
+def load_xlm_roberta_text(path: str, cfg: dict = XLM_ROBERTA_LARGE,
+                          dtype=np.float32):
+    """Load the CLIP text tower from the reference checkpoint
+    (`models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth`)."""
+    from ..utils.checkpoint import load_torch_state_dict
+    return convert_xlm_roberta_text(load_torch_state_dict(path), cfg, dtype)

@@ -78,6 +78,46 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
 
 
+def dense_attention_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        scale: Optional[float] = None
+                        ) -> tuple:
+    """Attention + per-query logsumexp, for online-softmax merging across
+    KV chunks (ring attention).  Differentiable (pure jnp).
+
+    Returns (out [B, Lq, N, D], lse [B, N, Lq] fp32).
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bqnd,bknd->bnqk", qf, kf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bnqk,bknd->bqnd", (p / l).astype(v.dtype), v)
+    lse = (m + jnp.log(l))[..., 0]
+    return out, lse
+
+
+def flash_attention_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        scale: Optional[float] = None,
+                        block_q: int = 512, block_k: int = 2048,
+                        interpret: bool = False) -> tuple:
+    """Pallas flash attention that also returns the logsumexp.
+
+    Inference-only fast path for ring attention on TPU (no custom VJP —
+    the ring's training path uses `dense_attention_lse`).
+    Returns (out [B, Lq, N, D], lse [B, N, Lq] fp32).
+    """
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    block_q = min(max(block_q, 128), max(128, 1 << (Lq - 1).bit_length()))
+    block_k = min(max(block_k, 128), max(128, 1 << (Lk - 1).bit_length()))
+    out, (_, _, _, _, lse) = _flash_vjp_fwd_impl(
+        q, k, v, scale, block_q, block_k, interpret)
+    return out, lse[:, :, :Lq, 0]
+
+
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------

@@ -113,12 +113,19 @@ class ChunkParallelPipeline:
         with the previous chunk's handoff as a data dependency, so chunk k+1
         runs concurrently with chunk k's fill groups.
         """
+        import time
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         outputs: List[jnp.ndarray] = []
         handoff = None
+        #: host-side dispatch timeline of the last generate() call — the
+        #: overlap evidence (see tests/test_chunk_parallel.py): chunk k+1's
+        #: whole program is enqueued long before chunk k finishes executing,
+        #: so the per-device queues overlap by construction.
+        self.dispatch_log: List[dict] = []
         for ci, noise in enumerate(noise_per_chunk):
             stage = self.stages[ci % len(self.stages)]
             dev = stage["put"]
+            t_start = time.perf_counter()
             rng, sub = jax.random.split(rng)
             noise_d = jax.device_put(noise, dev)
             cond_d = jax.device_put(cond_context, dev)
@@ -140,6 +147,12 @@ class ChunkParallelPipeline:
                 on_anchor=lambda a: captured.__setitem__("anchors", a))
             outputs.append(out)
             handoff = captured.get("anchors")
+            self.dispatch_log.append({
+                "chunk": ci, "stage": ci % len(self.stages),
+                "dispatch_start": t_start,
+                "dispatch_end": time.perf_counter(),
+                "phase_times": dict(stage["pipe"].phase_times),
+            })
         return outputs
 
     def decode_chunks(self, chunks: Sequence[jnp.ndarray],

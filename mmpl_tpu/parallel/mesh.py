@@ -63,13 +63,13 @@ def _dit_param_spec(path: Tuple, leaf) -> P:
     ndim = leaf.ndim
 
     if "kernel" in names and ndim >= 2:
-        tp_ok = any(k in names for k in ("q", "k", "v", "fc1", "gate"))
+        tp_ok = any(k in names for k in ("q", "k", "v", "qkv", "fc1", "gate"))
         if is_block and ndim == 3:
             return P(None, "fsdp", "tp" if tp_ok else None)
         if ndim == 2:
             return P("fsdp", "tp" if tp_ok else None)
     if "bias" in names and ndim >= 1:
-        tp_ok = any(k in names for k in ("q", "k", "v", "fc1", "gate"))
+        tp_ok = any(k in names for k in ("q", "k", "v", "qkv", "fc1", "gate"))
         if is_block and ndim == 2:
             return P(None, "tp" if tp_ok else None)
         return P("tp" if tp_ok else None)

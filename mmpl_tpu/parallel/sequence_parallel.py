@@ -29,22 +29,70 @@ from jax import shard_map
 
 from ..models.dit import (Params, cross_attention, embed_text, layer_norm,
                           linear, mlp, patchify, precompute_context_kv,
-                          rms_norm, time_embed, unpatchify)
+                          qkv_project, time_embed, unpatchify)
 from ..ops.attention import attention
 from ..ops.rope import apply_rope, window_rope_table
 
 
-def ulysses_attention(q, k, v, axis_name: str):
+def ring_attention(q, k, v, axis_name: str, impl: str = "dense"):
+    """Ring attention over a sequence-sharded KV (the ring half of USP,
+    xdit_context_parallel.py:179-184 / xFuserLongContextAttention).
+
+    q/k/v: [B, L/ring, N, D] local shards inside a `shard_map`.  K/V rotate
+    around the ring via `ppermute`; each step's partial attention merges
+    into the running output by logsumexp reweighting (online softmax across
+    chunks).  Unlike Ulysses, heads are NOT split, so sp can exceed
+    num_heads; attention here is unmasked (the bidirectional teacher path),
+    making KV chunk order irrelevant.
+
+    impl: "dense" (differentiable, default) or "flash" (Pallas fwd-only —
+    inference fast path on TPU).
+    """
+    from ..ops.attention import dense_attention_lse, flash_attention_lse
+    ring = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+    chunk_fn = flash_attention_lse if impl == "flash" else dense_attention_lse
+
+    out, lse = chunk_fn(q, k, v)          # lse [B, N, Lq]
+    kr, vr = k, v
+    for _ in range(ring - 1):
+        kr = jax.lax.ppermute(kr, axis_name, perm)
+        vr = jax.lax.ppermute(vr, axis_name, perm)
+        o_c, lse_c = chunk_fn(q, kr, vr)
+        m = jnp.maximum(lse, lse_c)
+        w = jnp.exp(lse - m)
+        w_c = jnp.exp(lse_c - m)
+        tot = w + w_c
+        # weights ride [B, N, Lq] -> broadcast to [B, Lq, N, D]
+        wq = jnp.swapaxes(w / tot, 1, 2)[..., None]
+        wc = jnp.swapaxes(w_c / tot, 1, 2)[..., None]
+        out = (out.astype(jnp.float32) * wq
+               + o_c.astype(jnp.float32) * wc).astype(out.dtype)
+        lse = m + jnp.log(tot)
+    del idx
+    return out
+
+
+def ulysses_attention(q, k, v, axis_name: str,
+                      ring_axis: Optional[str] = None,
+                      ring_impl: str = "dense"):
     """All-to-all head/sequence reshuffle + local full-seq attention
-    (xdit_context_parallel.py:149-192)."""
-    # [B, L/sp, N, D] -> [B, L, N/sp, D]
+    (xdit_context_parallel.py:149-192).  With `ring_axis`, composes with
+    ring attention (full USP): heads split over `axis_name`, the remaining
+    sequence shards rotate over `ring_axis` — total sp = ulysses * ring can
+    then exceed the head count."""
+    # [B, L/sp, N, D] -> [B, L/ring, N/sp_u, D]
     qg = jax.lax.all_to_all(q, axis_name, split_axis=2, concat_axis=1,
                             tiled=True)
     kg = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
                             tiled=True)
     vg = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
                             tiled=True)
-    out = attention(qg, kg, vg)
+    if ring_axis is None:
+        out = attention(qg, kg, vg)
+    else:
+        out = ring_attention(qg, kg, vg, ring_axis, impl=ring_impl)
     # back to [B, L/sp, N, D]
     return jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
                               tiled=True)
@@ -52,21 +100,29 @@ def ulysses_attention(q, k, v, axis_name: str):
 
 def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
                     t: jnp.ndarray, context: jnp.ndarray, mesh: Mesh,
-                    sp_axis: str = "sp") -> jnp.ndarray:
+                    sp_axis: str = "sp",
+                    ring_axis: Optional[str] = None,
+                    ring_impl: str = "dense") -> jnp.ndarray:
     """Sequence-parallel bidirectional Wan DiT forward (teacher path).
 
     latents [B, F, C, H, W]; t [B] (uniform timestep — the teacher's case,
     so AdaLN modulation broadcasts over tokens and frame boundaries need
     not align with shards); context [B, T, text_dim].
+
+    With `ring_axis` the token dim shards over sp_axis x ring_axis (full
+    USP): Ulysses all-to-alls heads over sp_axis, ring attention rotates KV
+    over ring_axis — total sequence parallelism beyond num_heads.
     """
     sp = mesh.shape[sp_axis]
+    ring = mesh.shape[ring_axis] if ring_axis else 1
     B, F, C, H, W = latents.shape
     grid = (H // cfg.patch_size[1], W // cfg.patch_size[2])
     S = grid[0] * grid[1]
     L = F * S
-    assert L % sp == 0, f"seq len {L} must be a multiple of sp={sp}"
+    assert L % (sp * ring) == 0, \
+        f"seq len {L} must be a multiple of sp*ring={sp * ring}"
     n, d = cfg.num_heads, cfg.dim // cfg.num_heads
-    assert n % sp == 0, f"heads {n} must be a multiple of sp={sp}"
+    assert n % sp == 0, f"heads {n} must be a multiple of ulysses sp={sp}"
 
     x = patchify(params["patch_embedding"], latents, cfg.patch_size)
     e, e0 = time_embed(params, cfg, t[:, None])     # [B,1,D], [B,1,6,D]
@@ -84,14 +140,9 @@ def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
 
         def self_attn(sp_p, xm):
             Ll = xm.shape[1]
-            q = rms_norm(linear(sp_p["q"], xm),
-                         sp_p["norm_q"]["weight"]).reshape(B, Ll, n, d)
-            k = rms_norm(linear(sp_p["k"], xm),
-                         sp_p["norm_k"]["weight"]).reshape(B, Ll, n, d)
-            v = linear(sp_p["v"], xm).reshape(B, Ll, n, d)
-            q = apply_rope(q, cos_loc, sin_loc, out_dtype=v.dtype)
-            k = apply_rope(k, cos_loc, sin_loc, out_dtype=v.dtype)
-            out = ulysses_attention(q, k, v, sp_axis)
+            q, k, v = qkv_project(sp_p, xm, n, d, cos_loc, sin_loc)
+            out = ulysses_attention(q, k, v, sp_axis, ring_axis=ring_axis,
+                                    ring_impl=ring_impl)
             return linear(sp_p["o"], out.reshape(B, Ll, -1))
 
         def block_fwd(x, layer_in):
@@ -123,11 +174,12 @@ def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
                        + he[:, 0, 0].astype(x_loc.dtype)[:, None])
         return x_loc
 
+    seq_axes = (sp_axis, ring_axis) if ring_axis else sp_axis
     sharded = shard_map(
         local_forward, mesh=mesh,
-        in_specs=(P(None, sp_axis, None), P(), P(), P(sp_axis), P(sp_axis),
-                  P(), P(), P()),
-        out_specs=P(None, sp_axis, None),
+        in_specs=(P(None, seq_axes, None), P(), P(), P(seq_axes),
+                  P(seq_axes), P(), P(), P()),
+        out_specs=P(None, seq_axes, None),
     )
     out_tokens = sharded(x, e, e0, cos, sin, params["blocks"], ctx_kv,
                          params["head"])

@@ -26,6 +26,9 @@ class BidirectionalDiffusionInferencePipeline:
                  timestep_shift: float = 8.0, guidance_scale: float = 5.0,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
+        if "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
@@ -75,6 +78,9 @@ class BidirectionalInferencePipeline:
                  denoising_step_list: Sequence[int] = (1000, 750, 500, 250),
                  timestep_shift: float = 8.0, dtype=jnp.bfloat16):
         self.cfg = cfg
+        if "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)
         self.params = params
         self.steps = tuple(int(t) for t in denoising_step_list)
         self.dtype = dtype

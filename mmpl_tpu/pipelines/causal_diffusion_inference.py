@@ -32,6 +32,9 @@ class CausalDiffusionInferencePipeline:
                  local_attn_frames: int = 21,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
+        if "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.num_frame_per_block = num_frame_per_block

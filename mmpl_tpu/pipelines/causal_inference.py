@@ -55,6 +55,7 @@ class CausalInferencePipeline:
                  max_attention_frames: Optional[int] = None,
                  sink_frames: int = 0,
                  warp_denoising_step: bool = False,
+                 fuse_qkv: bool = True,
                  dtype=jnp.bfloat16):
         """max_attention_frames: enables the ROLLING KV cache — a fixed
         `max_attention_frames`-slot buffer in recency order with the first
@@ -67,6 +68,9 @@ class CausalInferencePipeline:
         attention is still truncated to the last `local_attn_frames`.
         """
         self.cfg = cfg
+        if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise

@@ -53,6 +53,7 @@ class CausalFPSInferencePipeline:
                  reseed_seed: int = 0,
                  sample_solver: str = "unipc",
                  mesh=None, shard_params: bool = True,
+                 fuse_qkv: bool = True,
                  dtype=jnp.bfloat16):
         """mesh: optional jax.sharding.Mesh with (dp, fsdp, tp) axes.  When
         given, params are placed with (fsdp, tp) NamedShardings (unless
@@ -63,6 +64,9 @@ class CausalFPSInferencePipeline:
         (wan/configs/wan_t2v_14B.py:21-25, README.md:29)."""
         self.cfg = cfg
         self.mesh = mesh
+        if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)   # one [D,3D] gemm per layer
         if mesh is not None and shard_params:
             from ..parallel.mesh import shard_params_for_inference
             params = shard_params_for_inference(params, mesh)

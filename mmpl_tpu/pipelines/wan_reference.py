@@ -54,6 +54,9 @@ class WanT2V:
                  guidance_scale: float = 5.0, mesh=None,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
+        if "qkv" not in params["blocks"]["self_attn"]:
+            from ..models.dit import fuse_qkv_params
+            params = fuse_qkv_params(params)
         self.params = params
         self.vae_params = vae_params
         self.text_encoder = text_encoder

@@ -144,6 +144,83 @@ class CallbackHandler:
         return False
 
 
+class VideoProcessor:
+    """First-frame cover extraction
+    (fastapi_parallel_i2v_server.py:403-445; the reference tries moviepy ->
+    torchvision -> OpenCV; here imageio/npy via utils.video_io)."""
+
+    @staticmethod
+    def extract_first_frame(video_path: str, output_path: str) -> bool:
+        try:
+            from PIL import Image
+            from ..utils.video_io import read_video
+            frames = read_video(video_path)
+            out_dir = os.path.dirname(output_path)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+            Image.fromarray(frames[0]).save(output_path, format="PNG")
+            return True
+        except Exception as e:
+            logger.warning("cover extraction failed for %s: %s",
+                           video_path, e)
+            return False
+
+
+class MediaMetadataHandler:
+    """AIGC provenance metadata injection
+    (fastapi_parallel_t2v_server.py:124-175): a JSON blob under the `AIGC`
+    key — PNG text chunk via PIL, mp4 container tag via ffmpeg.  Without an
+    ffmpeg binary the video passes through unchanged (metadata skipped,
+    logged)."""
+
+    METADATA_TEMPLATE = {
+        "Label": "1",
+        "ContentProducer": "TeleStudio",
+        "ProduceID": "",
+        "ReservedCode1": "",
+        "ContentPropagator": "TeleStudio",
+        "PropagateID": "",
+        "ReservedCode2": "",
+    }
+
+    @classmethod
+    def _metadata(cls, seqid: str) -> str:
+        md = dict(cls.METADATA_TEMPLATE)
+        md["ProduceID"] = seqid
+        md["PropagateID"] = seqid
+        return json.dumps(md)
+
+    @classmethod
+    def write_png_metadata(cls, seqid: str, input_png: str, output_png: str,
+                           keyword: str = "AIGC") -> str:
+        from PIL import Image, PngImagePlugin
+        img = Image.open(input_png)
+        meta = PngImagePlugin.PngInfo()
+        meta.add_text(keyword, cls._metadata(seqid))
+        img.save(output_png, pnginfo=meta)
+        return output_png
+
+    @classmethod
+    def write_video_metadata(cls, seqid: str, input_video: str,
+                             output_video: str) -> str:
+        import shutil
+        import subprocess
+        if input_video.endswith(".mp4") and shutil.which("ffmpeg"):
+            cmd = ["ffmpeg", "-y", "-i", input_video,
+                   "-metadata", f"AIGC={cls._metadata(seqid)}",
+                   "-movflags", "use_metadata_tags", "-c", "copy",
+                   output_video]
+            proc = subprocess.run(cmd, capture_output=True)
+            if proc.returncode == 0:
+                return output_video
+            logger.warning("ffmpeg metadata injection failed: %s",
+                           proc.stderr[-200:])
+        # no ffmpeg / non-mp4 fallback: ship the original artifact
+        logger.info("video metadata skipped for %s (no mp4 muxer)",
+                    input_video)
+        return input_video
+
+
 class ParallelVideoGenerationService:
     """Task orchestration: expansion -> generation -> artifacts -> callback."""
 
@@ -179,6 +256,30 @@ class ParallelVideoGenerationService:
             self.task_storage.add_task(seqid, rec)
         return rec
 
+    def _publish_artifacts(self, task_id: str, seqid: str,
+                           paths: List[str]):
+        """Per-chunk publication (fastapi_parallel_t2v_server.py:618-653):
+        extract the first frame as a cover PNG, inject AIGC metadata into
+        both artifacts, upload, return (video_urls, cover_urls)."""
+        ts = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
+        urls, covers = [], []
+        for i, path in enumerate(paths):
+            base = os.path.join(self.config.output_folder,
+                                f"{task_id}_{ts}_chunk{i + 1}")
+            media_video = MediaMetadataHandler.write_video_metadata(
+                seqid, path, base + "_media" + os.path.splitext(path)[1])
+            url = self.uploader(media_video)
+            if url:
+                urls.append(url)
+            frame_png = base + "_frame.png"
+            if VideoProcessor.extract_first_frame(path, frame_png):
+                media_png = MediaMetadataHandler.write_png_metadata(
+                    seqid, frame_png, base + "_media.png")
+                cover = self.uploader(media_png)
+                if cover:
+                    covers.append(cover)
+        return urls, covers
+
     def generate_parallel_video_task(self, request: dict,
                                      task_id: str) -> None:
         seqid = request.get("seqid") or task_id
@@ -196,12 +297,12 @@ class ParallelVideoGenerationService:
                 seed=int(request.get("seed", 0)),
                 image=request.get("image"),
             )
-            urls = [self.uploader(p) for p in paths]
+            urls, covers = self._publish_artifacts(task_id, seqid, paths)
             self._store(task_id, seqid, ResponseCode.SUCCESS.value, "ok", 1,
-                        TaskStatus.SUCCESS.value, urls, [], text)
+                        TaskStatus.SUCCESS.value, urls, covers, text)
             CallbackHandler.execute_callback(
                 request.get("callback_url"), seqid,
-                ResponseCode.SUCCESS.value, "ok", 1, urls, [], text)
+                ResponseCode.SUCCESS.value, "ok", 1, urls, covers, text)
         except Exception as e:
             logger.error("task %s failed: %s\n%s", task_id, e,
                          traceback.format_exc())

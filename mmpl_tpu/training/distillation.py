@@ -45,6 +45,12 @@ class DistillationConfig:
                  num_train_timestep: int = 1000,
                  ts_schedule: bool = True, ts_schedule_max: bool = False,
                  sid_alpha: float = 1.0,
+                 gan_g_weight: float = 1e-2, gan_d_weight: float = 1e-2,
+                 r1_weight: float = 0.0, r2_weight: float = 0.0,
+                 r1_sigma: float = 0.01, r2_sigma: float = 0.01,
+                 relativistic_discriminator: bool = False,
+                 concat_time_embeddings: bool = False,
+                 critic_timestep_shift: Optional[float] = None,
                  dtype=jnp.float32):
         self.real_guidance_scale = real_guidance_scale
         self.fake_guidance_scale = fake_guidance_scale
@@ -56,6 +62,17 @@ class DistillationConfig:
         self.ts_schedule = ts_schedule
         self.ts_schedule_max = ts_schedule_max
         self.sid_alpha = sid_alpha
+        self.gan_g_weight = gan_g_weight
+        self.gan_d_weight = gan_d_weight
+        self.r1_weight = r1_weight
+        self.r2_weight = r2_weight
+        self.r1_sigma = r1_sigma
+        self.r2_sigma = r2_sigma
+        self.relativistic_discriminator = relativistic_discriminator
+        self.concat_time_embeddings = concat_time_embeddings
+        self.critic_timestep_shift = (timestep_shift
+                                      if critic_timestep_shift is None
+                                      else critic_timestep_shift)
         self.dtype = dtype
 
 
@@ -81,7 +98,8 @@ class Distiller:
             t.reshape(-1)).reshape(xt.shape)
         return x0
 
-    def _score_timestep(self, rng, B, F, t_from, t_to):
+    def _score_timestep(self, rng, B, F, t_from, t_to,
+                        shift: Optional[float] = None):
         d = self.dcfg
         min_t = jnp.asarray(
             t_to if (d.ts_schedule and t_to is not None)
@@ -92,7 +110,7 @@ class Distiller:
         u = jax.random.uniform(rng, (B, 1))
         t = min_t + u * jnp.maximum(max_t - min_t, 1.0)
         t = jnp.broadcast_to(t, (B, F))          # uniform across frames
-        t = shift_timestep(t, d.timestep_shift)
+        t = shift_timestep(t, d.timestep_shift if shift is None else shift)
         return jnp.clip(t, d.min_step, d.max_step)
 
     def kl_grad(self, models, noisy, x0_est, t, ctx, uncond_ctx,
@@ -188,6 +206,98 @@ class Distiller:
         flow_target = _flat(noise - x0)
         loss = jnp.mean((flow_pred - flow_target) ** 2)
         return loss, {"critic_timestep": jnp.mean(t)}
+
+
+    # -- GAN objective (model/gan.py:69-295) --------------------------------
+
+    def _gan_logits(self, models, noisy, t, ctx):
+        """Classify-mode fake_score forward (gan.py:69-89)."""
+        from .gan import dit_forward_classify
+        return dit_forward_classify(
+            models["fake_score"], models["gan_head"], self.model_cfg,
+            noisy.astype(self.dcfg.dtype), t, ctx,
+            concat_time_embeddings=self.dcfg.concat_time_embeddings)
+
+    def _gan_noisy_pair(self, models, batch, rng, stop_grad_rollout: bool):
+        """Shared rollout + noising for both GAN losses.
+
+        Returns (noisy_fake, noisy_real, t).  Noise handling mirrors the
+        reference's asymmetry: the generator loss draws fresh noise for the
+        real branch (gan.py:138-151) while the critic reuses the fake
+        branch's noise (gan.py:226-239)."""
+        d = self.dcfg
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        x0, t_from, t_to = self._rollout(models, batch, r1)
+        if stop_grad_rollout:
+            x0 = jax.lax.stop_gradient(x0)
+        B, F = x0.shape[:2]
+        t = self._score_timestep(r2, B, F, t_from, t_to,
+                                 shift=d.critic_timestep_shift)
+        noise_f = jax.random.normal(r3, x0.shape, jnp.float32)
+        noisy_fake = self.scheduler.add_noise(
+            _flat(x0), _flat(noise_f), t.reshape(-1)).reshape(x0.shape)
+        real = jax.lax.stop_gradient(
+            batch["real_latents"].astype(jnp.float32))
+        noise_r = noise_f if stop_grad_rollout else \
+            jax.random.normal(r4, real.shape, jnp.float32)
+        noisy_real = self.scheduler.add_noise(
+            _flat(real), _flat(noise_r), t.reshape(-1)).reshape(real.shape)
+        return noisy_fake, noisy_real, t
+
+    def gan_generator_loss(self, models, batch, rng):
+        """R3GAN generator loss on rolled-out videos (gan.py:92-172).
+        batch additionally carries `real_latents` [B, F, C, H, W]."""
+        d = self.dcfg
+        noisy_fake, noisy_real, t = self._gan_noisy_pair(
+            models, batch, rng, stop_grad_rollout=False)
+        # one batched critic pass over [fake; real] (gan.py:153-164)
+        both = jnp.concatenate([noisy_fake,
+                                jax.lax.stop_gradient(noisy_real)], axis=0)
+        ctx2 = jnp.concatenate([batch["context"], batch["context"]], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        logits = self._gan_logits(jax.lax.stop_gradient(models), both, t2,
+                                  ctx2)
+        lf, lr = jnp.split(logits.astype(jnp.float32), 2, axis=0)
+        if d.relativistic_discriminator:
+            loss = jnp.mean(jax.nn.softplus(-(lf - lr)))
+        else:
+            loss = jnp.mean(jax.nn.softplus(-lf))
+        return loss * d.gan_g_weight, {"gan_fake_logit": jnp.mean(lf)}
+
+    def gan_critic_loss(self, models, batch, rng):
+        """R3GAN critic loss + R1/R2 finite-difference regularisation
+        (gan.py:174-295).  Trains `fake_score` + `gan_head`."""
+        d = self.dcfg
+        r_main, r_r1, r_r2 = jax.random.split(rng, 3)
+        noisy_fake, noisy_real, t = self._gan_noisy_pair(
+            models, batch, r_main, stop_grad_rollout=True)
+        both = jnp.concatenate([noisy_fake, noisy_real], axis=0)
+        ctx2 = jnp.concatenate([batch["context"], batch["context"]], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        logits = self._gan_logits(models, both, t2, ctx2)
+        lf, lr = jnp.split(logits.astype(jnp.float32), 2, axis=0)
+        if d.relativistic_discriminator:
+            loss = jnp.mean(jax.nn.softplus(-(lr - lf)))
+        else:
+            loss = jnp.mean(jax.nn.softplus(-lr)) + \
+                jnp.mean(jax.nn.softplus(lf))
+        loss = loss * d.gan_d_weight
+
+        # R1/R2: finite-difference gradient penalties (gan.py:259-288)
+        def fd_penalty(noisy, base_logit, sigma, key):
+            eps = sigma * jax.random.normal(key, noisy.shape, jnp.float32)
+            pert = self._gan_logits(models, noisy + eps, t, batch["context"])
+            g = (pert.astype(jnp.float32) - base_logit) / sigma
+            return jnp.mean(g ** 2)
+
+        log = {"gan_real_logit": jnp.mean(lr), "gan_fake_logit": jnp.mean(lf)}
+        if d.r1_weight > 0.0:
+            loss = loss + d.r1_weight * fd_penalty(noisy_real, lr,
+                                                   d.r1_sigma, r_r1)
+        if d.r2_weight > 0.0:
+            loss = loss + d.r2_weight * fd_penalty(noisy_fake, lf,
+                                                   d.r2_sigma, r_r2)
+        return loss, log
 
 
 def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,

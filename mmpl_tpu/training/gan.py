@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from ..models.dit import (Params, block_forward, cross_attention,
                           embed_text, init_linear, layer_norm, linear,
-                          mlp, patchify, precompute_context_kv, rms_norm,
-                          time_embed)
+                          mlp, patchify, precompute_context_kv, qkv_project,
+                          rms_norm, time_embed)
 from ..ops.attention import attention
 from ..ops.rope import apply_rope, window_rope_table
 
@@ -57,7 +57,6 @@ def init_gan_head_params(key, atten_dim: int = 1536, num_class: int = 1,
                       "bias": jnp.zeros((d,), dtype)},
             "ffn": {"fc1": init_linear(kk[4], d, ffn_dim, dtype),
                     "fc2": init_linear(kk[5], ffn_dim, d, dtype)},
-            "num_heads": num_heads,
         }
 
     in_dim = d * num_registers + time_embed_dim
@@ -70,19 +69,18 @@ def init_gan_head_params(key, atten_dim: int = 1536, num_class: int = 1,
             "norm": {"weight": jnp.ones((in_dim,), dtype),
                      "bias": jnp.zeros((in_dim,), dtype)},
             "fc1": init_linear(ks[-2], in_dim, 1536, dtype),
-            "fc2": init_linear(ks[-1], d, num_class, dtype),
+            "fc2": init_linear(ks[-1], 1536, num_class, dtype),
         },
-        "time_embed_dim": time_embed_dim,
     }
 
 
-def _gan_cross_attn(bp: Params, x: jnp.ndarray,
-                    token: jnp.ndarray) -> jnp.ndarray:
+def _gan_cross_attn(bp: Params, x: jnp.ndarray, token: jnp.ndarray,
+                    num_heads: int) -> jnp.ndarray:
     """WanGanCrossAttention (model.py:197-221): query = register token,
     keys/values = the tapped hidden states; then token + FFN residual
     (GanAttentionBlock.forward, model.py:427-436)."""
     B, L, D = x.shape
-    n = bp["num_heads"]
+    n = num_heads
     d = D // n
     ca = bp["cross_attn"]
     xn = layer_norm(x, 1e-6, bp["norm3"]["weight"], bp["norm3"]["bias"])
@@ -101,7 +99,8 @@ def _gan_cross_attn(bp: Params, x: jnp.ndarray,
 def dit_forward_classify(params: Params, gan_params: Params, cfg,
                          latents: jnp.ndarray, t: jnp.ndarray,
                          context: jnp.ndarray,
-                         concat_time_embeddings: bool = False
+                         concat_time_embeddings: bool = False,
+                         gan_num_heads: Optional[int] = None
                          ) -> jnp.ndarray:
     """Bidirectional DiT feature extraction -> GAN logits
     (model.py:637-771 classify_mode branch)."""
@@ -121,13 +120,7 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
 
     def self_attn(sp, xm):
         L = xm.shape[1]
-        q = rms_norm(linear(sp["q"], xm), sp["norm_q"]["weight"]).reshape(
-            B, L, n, d)
-        k = rms_norm(linear(sp["k"], xm), sp["norm_k"]["weight"]).reshape(
-            B, L, n, d)
-        v = linear(sp["v"], xm).reshape(B, L, n, d)
-        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
-        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        q, k, v = qkv_project(sp, xm, n, d, cos, sin)
         return linear(sp["o"], attention(q, k, v).reshape(B, L, -1))
 
     def scan_seg(x, seg):
@@ -139,9 +132,13 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
             return x, None
         return jax.lax.scan(body, x, seg)[0]
 
+    R = gan_params["register_tokens"].shape[0]
     taps = [i for i in GAN_TAP_LAYERS if i < cfg.num_layers]
-    if not taps:           # tiny test configs: tap the last layer
-        taps = [cfg.num_layers - 1]
+    if len(taps) != R:     # small configs: R evenly spaced taps so the
+        # cls-branch input width (R * dim) always matches
+        taps = sorted(min(cfg.num_layers - 1,
+                          max(0, round((j + 1) * cfg.num_layers / R) - 1))
+                      for j in range(R))
     registers = rms_norm(gan_params["register_tokens"],
                          gan_params["register_norm"]["weight"])[None]
     registers = jnp.broadcast_to(
@@ -155,13 +152,15 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
         x = scan_seg(x, seg)
         prev = tap + 1
         gp = gan_params["gan_blocks"][gi % len(gan_params["gan_blocks"])]
-        feats.append(_gan_cross_attn(gp, x, registers[:, gi:gi + 1]))
+        feats.append(_gan_cross_attn(gp, x, registers[:, gi:gi + 1],
+                                     gan_num_heads or cfg.num_heads))
     # (remaining layers are not needed for the logits)
 
     final = jnp.concatenate(feats, axis=1)          # [B, n_taps, D]
     cb = gan_params["cls_branch"]
-    if concat_time_embeddings and gan_params["time_embed_dim"] > 0:
-        final = jnp.concatenate([final, 10.0 * e[:, :1]], axis=1)
+    if concat_time_embeddings:
+        final = jnp.concatenate([final, 10.0 * e[:, :1].astype(final.dtype)],
+                                axis=1)
     flatf = final.reshape(B, -1)
     h = layer_norm(flatf, 1e-5, cb["norm"]["weight"], cb["norm"]["bias"])
     h = jax.nn.silu(linear(cb["fc1"], h))

@@ -8,9 +8,11 @@ gradients flow through exactly ONE randomly-chosen denoising step per block
 frames (:137,:174-193); after each block the KV cache is committed from the
 context-noised prediction (:199-216).
 
-JAX design: the no-grad chain runs fully with `stop_gradient`, collecting
-the per-step noisy inputs; the selected step is then recomputed once *with*
-gradient (`jnp.where` selection keeps the graph static).  The reference's
+JAX design: the no-grad chain early-exits at the sampled flag — a
+`lax.fori_loop` whose body is gated by `lax.cond(i < flag)`, so skipped
+steps cost nothing at runtime while shapes stay static — then the selected
+step runs once *with* gradient (matching the reference's `break` at
+exit_flag, :147-156).  The reference's
 rank-0 `dist.broadcast` of the random indices (:41-58) is replaced by
 deriving `exit_flags` from a PRNG key that is identical on all data-parallel
 shards — same synchronisation, no collective.
@@ -99,30 +101,50 @@ class SelfForcingRollout:
             outputs.append(initial_latent.astype(jnp.float32))
             start = n_init
 
+        step_vals = jnp.asarray(self.steps, jnp.float32)
+
         for b in range(num_blocks):
             sched = block_schedule(start, nb, self.num_max_frames)
             x = noise[:, b * nb:(b + 1) * nb].astype(jnp.float32)
             flag = exit_flags[0] if self.same_step_across_blocks \
                 else exit_flags[b]
+            flag = jnp.clip(flag, 0, len(self.steps) - 1)
 
-            # no-grad chain, collecting each step's noisy input
-            noisy_inputs = [x]
-            xi = x
-            for i, t_int in enumerate(self.steps[:-1]):
-                x0, cache = fwd(jax.lax.stop_gradient(xi), float(t_int),
-                                sched, cache, grad=False)
-                rng, k = jax.random.split(rng)
-                nz = jax.random.normal(k, xi.shape, jnp.float32)
-                nt = jnp.full((B * nb,), float(self.steps[i + 1]))
-                xi = sch.add_noise(flat(jax.lax.stop_gradient(x0)),
-                                   flat(nz), nt).reshape(xi.shape)
-                noisy_inputs.append(xi)
+            # Early-exit no-grad chain (the reference breaks at exit_flag,
+            # self_forcing_training.py:136-194): only the `flag` steps
+            # before the graded one execute — `lax.cond` skips the rest at
+            # runtime, so the expected per-block cost is (S-1)/2 + 2
+            # forwards instead of S + 1.
+            def _nograd_step(i, carry, sched=sched):
+                xi, cache, key = carry
+                key, k = jax.random.split(key)
 
-            # graded recompute at the selected step only
-            stacked = jnp.stack(noisy_inputs)          # [S, B, nb, C, H, W]
-            sel = jax.lax.stop_gradient(
-                stacked[jnp.clip(flag, 0, len(self.steps) - 1)])
-            t_sel = jnp.asarray(self.steps, jnp.float32)[flag]
+                def run(c):
+                    xi, cache = c
+                    tt = jnp.broadcast_to(step_vals[i], (B, nb))
+                    flow, cache = fps_forward_group(
+                        jax.lax.stop_gradient(params), cfg,
+                        jax.lax.stop_gradient(xi).astype(self.dtype), tt,
+                        ctx_kv, cache, sched)
+                    x0 = sch.convert_flow_pred_to_x0(
+                        flat(flow).astype(jnp.float32), flat(xi),
+                        tt.reshape(-1)).reshape(xi.shape)
+                    nz = jax.random.normal(k, xi.shape, jnp.float32)
+                    nt = jnp.broadcast_to(step_vals[i + 1], (B * nb,))
+                    xi = sch.add_noise(flat(jax.lax.stop_gradient(x0)),
+                                       flat(nz), nt).reshape(xi.shape)
+                    return xi, cache
+
+                xi, cache = jax.lax.cond(i < flag, run, lambda c: c,
+                                         (xi, cache))
+                return xi, cache, key
+
+            xi, cache, rng = jax.lax.fori_loop(
+                0, len(self.steps) - 1, _nograd_step, (x, cache, rng))
+
+            # graded forward at the selected step only
+            sel = jax.lax.stop_gradient(xi)
+            t_sel = step_vals[flag]
             tt = jnp.full((B, nb), 1.0, jnp.float32) * t_sel
             use_grad = start >= grad_start_frame
             p = params if use_grad else jax.lax.stop_gradient(params)

@@ -207,3 +207,37 @@ class TestMedia:
         out = load_image(p, 16, 16)
         assert out.shape == (3, 16, 16)
         assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_host_offload_roundtrip():
+    """demo_utils/memory.py analogue: params park off-HBM and restore with
+    values + shardings intact (inventory row 41)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmpl_tpu.utils.memory import (free_hbm_gb, hbm_bytes_in_use,
+                                       offload_params, restore_params)
+
+    params = {"w": jnp.arange(8.0).reshape(2, 4), "b": jnp.ones((4,))}
+    off = offload_params(params)
+    # on CPU (no pinned_host) leaves become host numpy
+    assert all(isinstance(x, (np.ndarray, jax.Array))
+               for x in jax.tree.leaves(off))
+    back = restore_params(off)
+    assert all(isinstance(x, jax.Array) for x in jax.tree.leaves(back))
+    np.testing.assert_array_equal(np.asarray(back["w"]),
+                                  np.asarray(params["w"]))
+
+    # sharded restore path
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmpl_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh({"fsdp": 2})
+    sh = {"w": NamedSharding(mesh, P("fsdp")), "b": NamedSharding(mesh, P())}
+    back2 = restore_params(off, shardings=sh)
+    assert back2["w"].sharding == sh["w"]
+    np.testing.assert_array_equal(np.asarray(back2["w"]),
+                                  np.asarray(params["w"]))
+
+    # stats helpers don't crash regardless of backend support
+    hbm_bytes_in_use()
+    free_hbm_gb()

@@ -91,3 +91,52 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(np.asarray(cache_s2["k"]),
                                np.asarray(cache_ref["k"]), atol=2e-4,
                                rtol=1e-4)
+
+
+def test_ring_attention_matches_dense():
+    """Ring-only sp=4 with only 2 heads (more shards than heads — the case
+    Ulysses alone cannot serve, VERDICT r1 item 8)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from mmpl_tpu.ops.attention import dense_attention
+    from mmpl_tpu.parallel.sequence_parallel import ring_attention
+
+    B, L, N, D = 2, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, L, N, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, L, N, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, L, N, D))
+    mesh = make_mesh({"ring": 4})
+    ring = shard_map(partial(ring_attention, axis_name="ring"), mesh=mesh,
+                     in_specs=(P(None, "ring"),) * 3,
+                     out_specs=P(None, "ring"))
+    got = np.asarray(ring(q, k, v))
+    want = np.asarray(dense_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # differentiable (the teacher trains under USP)
+    g = jax.grad(lambda qq: jnp.sum(ring(qq, k, v) ** 2))(q)
+    gd = jax.grad(lambda qq: jnp.sum(dense_attention(qq, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd), atol=2e-4,
+                               rtol=1e-4)
+
+
+def test_usp_ulysses_plus_ring_forward():
+    """Full USP: heads over sp=2, sequence ring over ring=2; sp_total=4 > a
+    2-head model's head count; must match the single-device forward."""
+    import copy
+    cfg = copy.deepcopy(tiny_test_config())
+    cfg.num_heads = 2
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    mesh = make_mesh({"sp": 2, "ring": 2})
+    B, F, C, H, W = 1, 4, 16, 8, 8   # L = 64, sp*ring = 4 -> 16/shard
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, F, C, H, W))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, cfg.text_len, cfg.text_dim))
+
+    want = np.asarray(dit.dit_forward(params, cfg, lat, t, ctx))
+    got = np.asarray(usp_dit_forward(params, cfg, lat, t, ctx, mesh,
+                                     sp_axis="sp", ring_axis="ring"))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

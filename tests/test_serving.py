@@ -156,3 +156,51 @@ def test_i2v_request_passes_image(tmp_path):
         assert got.get("image") == "b64://fake"
     finally:
         srv.shutdown()
+
+
+def test_cover_image_and_aigc_metadata(tmp_path):
+    """Cover extraction + AIGC metadata (VERDICT r1 item 5 / reference
+    fastapi_parallel_t2v_server.py:124-175,618-653): the task record and
+    callback carry cover_image URLs, and the PNG embeds the AIGC JSON."""
+    import numpy as np
+    from PIL import Image
+    from mmpl_tpu.serving.server import (MediaMetadataHandler,
+                                         ParallelVideoGenerationService,
+                                         VideoProcessor)
+
+    def backend(prompt, num_chunks, seed, image=None):
+        paths = []
+        for i in range(num_chunks):
+            p = str(tmp_path / f"clip{i}.mp4.npy")
+            frames = np.full((3, 8, 8, 3), 10 * (i + 1), np.uint8)
+            np.save(p, frames)
+            paths.append(p)
+        return paths
+
+    cfg = ParallelServerConfig(output_folder=str(tmp_path))
+    svc = ParallelVideoGenerationService(cfg, backend=backend)
+    svc.generate_parallel_video_task(
+        {"prompt": "hello", "seqid": "sq1", "num_chunks": 2}, "tid1")
+    rec = svc.get_task_status("tid1")
+    assert rec["status"] == TaskStatus.SUCCESS.value
+    assert len(rec["data"]["video"]) == 2
+    assert len(rec["data"]["cover_image"]) == 2
+
+    png = rec["data"]["cover_image"][0]
+    img = Image.open(png)
+    meta = json.loads(img.text["AIGC"])
+    assert meta["ProduceID"] == "sq1" and meta["PropagateID"] == "sq1"
+    assert meta["ContentProducer"] == "TeleStudio"
+
+    # first frame content round-trips
+    assert np.asarray(img)[0, 0, 0] == 10
+
+    # direct unit: extraction failure is graceful
+    bad = str(tmp_path / "bad.mp4")
+    open(bad, "wb").write(b"junk")
+    assert not VideoProcessor.extract_first_frame(bad,
+                                                  str(tmp_path / "c.png"))
+    # video metadata without ffmpeg degrades to passthrough
+    out = MediaMetadataHandler.write_video_metadata("sq", bad,
+                                                    str(tmp_path / "o.mp4"))
+    assert out in (bad, str(tmp_path / "o.mp4"))

@@ -219,3 +219,139 @@ def test_dmd_losses_smoke(tf_setup):
         loss, logd = getattr(dist, name)(models, batch,
                                          jax.random.PRNGKey(9))
         assert np.isfinite(float(loss)), name
+
+
+def test_gan_losses(tf_setup):
+    """GAN objective wiring (model/gan.py:69-295): generator + critic losses
+    finite, generator grads flow from the G loss, head+score grads from the
+    D loss (VERDICT r1 item 10)."""
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.gan import init_gan_head_params
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000, 500),
+                            num_frame_per_block=3, num_max_frames=6,
+                            grad_frame_window=6)
+    dc = DistillationConfig(dtype=jnp.float32, r1_weight=0.01,
+                            r2_weight=0.01)
+    dist = Distiller(cfg, dc, ro, sch)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    models = {"generator": params,
+              "fake_score": randomize_head(dit.init_dit_params(
+                  jax.random.PRNGKey(10), cfg, jnp.float32)),
+              "gan_head": init_gan_head_params(
+                  jax.random.PRNGKey(12), atten_dim=cfg.dim,
+                  ffn_dim=cfg.ffn_dim, num_heads=cfg.num_heads)}
+    batch = {"noise": jax.random.normal(jax.random.PRNGKey(8),
+                                        (1, 6, 16, 4, 4)),
+             "real_latents": jax.random.normal(jax.random.PRNGKey(13),
+                                               (1, 6, 16, 4, 4)),
+             "ctx_kv": ctx_kv, "context": ctx,
+             "uncond_context": jnp.zeros_like(ctx)}
+
+    def gsum(tree):
+        return jax.tree.reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), tree, 0.0)
+
+    (gl, _), ggrads = jax.value_and_grad(
+        lambda g: dist.gan_generator_loss({**models, "generator": g},
+                                          batch, jax.random.PRNGKey(9)),
+        has_aux=True)(models["generator"])
+    assert np.isfinite(float(gl)) and gsum(ggrads) > 0
+
+    (dl, logd), cgrads = jax.value_and_grad(
+        lambda c: dist.gan_critic_loss({**models, **c}, batch,
+                                       jax.random.PRNGKey(9)),
+        has_aux=True)({"fake_score": models["fake_score"],
+                       "gan_head": models["gan_head"]})
+    assert np.isfinite(float(dl))
+    assert gsum(cgrads["fake_score"]) > 0
+    assert gsum(cgrads["gan_head"]) > 0
+    assert np.isfinite(float(logd["gan_real_logit"]))
+
+
+def test_self_forcing_early_exit_flag0(tf_setup):
+    """Early exit (VERDICT r1 item 6): with exit flag 0 the rollout must be
+    exactly one graded forward + commit per block — verified by replicating
+    that minimal chain by hand, matching PRNG splits."""
+    from mmpl_tpu.models.fps_dit import fps_forward_group, init_kv_cache
+    from mmpl_tpu.pipelines.causal_inference import block_schedule
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    steps = (1000, 750, 500)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=steps,
+                            num_frame_per_block=3, num_max_frames=6,
+                            grad_frame_window=6)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 16, 4, 4))
+    rng0 = jax.random.PRNGKey(7)
+    out, _, _ = ro.rollout(params, ctx_kv, noise,
+                           jnp.asarray([0, 0], jnp.int32), rng0)
+
+    # manual flag-0 chain
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    cache = init_kv_cache(cfg, 1, 4, num_slots=6, dtype=jnp.float32)
+    rng = rng0
+    outs = []
+    for b in range(2):
+        sched = block_schedule(b * 3, 3, 6)
+        for _ in range(len(steps) - 1):     # unconditional splits
+            rng, _ = jax.random.split(rng)
+        x = noise[:, b * 3:(b + 1) * 3]
+        tt = jnp.full((1, 3), 1000.0)
+        flow, cache = fps_forward_group(params, cfg, x, tt, ctx_kv, cache,
+                                        sched)
+        x0 = sch.convert_flow_pred_to_x0(
+            flat(flow), flat(x), tt.reshape(-1)).reshape(x.shape)
+        outs.append(x0)
+        rng, k = jax.random.split(rng)
+        ct = jnp.zeros((3,))
+        committed = sch.add_noise(
+            flat(x0), flat(jax.random.normal(k, x0.shape)), ct
+        ).reshape(x0.shape)
+        _, cache = fps_forward_group(params, cfg, committed,
+                                     jnp.zeros((1, 3)), ctx_kv, cache, sched)
+    manual = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
+                               atol=1e-5)
+
+
+def test_self_forcing_early_exit_is_faster(tf_setup):
+    """flag=0 must execute fewer forwards than flag=S-1 at runtime (the
+    lax.cond skips, not masks, the pre-exit steps)."""
+    import time
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    steps = (1000, 900, 800, 700, 600, 500)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=steps,
+                            num_frame_per_block=3, num_max_frames=6,
+                            grad_frame_window=6)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 16, 16, 16))
+
+    roll = jax.jit(lambda flags, rng: ro.rollout(params, ctx_kv, noise,
+                                                 flags, rng)[0])
+    f_lo = jnp.zeros((2,), jnp.int32)
+    f_hi = jnp.full((2,), len(steps) - 1, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    jax.block_until_ready(roll(f_lo, rng))      # compile
+    jax.block_until_ready(roll(f_hi, rng))
+
+    def timed(flags):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(roll(flags, rng))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo, t_hi = timed(f_lo), timed(f_hi)
+    # theoretical forward ratio: (0+2)/(5+2) per block; require a safe gap
+    assert t_hi > 1.3 * t_lo, (t_lo, t_hi)

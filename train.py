@@ -25,7 +25,7 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--objective", default="teacher_forcing",
-                   choices=["teacher_forcing", "flow", "dmd", "sid"])
+                   choices=["teacher_forcing", "flow", "dmd", "sid", "gan"])
     p.add_argument("--data-dir", default=None,
                    help="TensorDictDataset shard dir (precomputed latents)")
     p.add_argument("--smoke", action="store_true",
@@ -60,7 +60,7 @@ def main(argv=None):
     from mmpl_tpu.utils.misc import set_seed
 
     cfg = tiny_test_config() if args.smoke else T2V_1_3B
-    F = args.num_frames if not args.smoke else 21
+    F = args.num_frames
     lat_hw = (4, 4) if args.smoke else (60, 104)
 
     key = set_seed(args.seed)
@@ -130,7 +130,8 @@ def main(argv=None):
             print(f"exported {args.export_pt}", file=sys.stderr)
         return 0
 
-    # distillation (dmd / sid): generator + fake_score + frozen real_score
+    # distillation (dmd / sid / gan): generator + fake_score (+ gan head,
+    # + frozen real_score for dmd/sid)
     import optax
     from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
     from mmpl_tpu.training.distillation import (DistillationConfig,
@@ -148,14 +149,27 @@ def main(argv=None):
         "generator": params,
         "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
                                           jnp.float32),
-        "real_score": dit.init_dit_params(jax.random.PRNGKey(11), cfg,
-                                          jnp.float32),
     }
-    gen_loss = getattr(dist, f"{'dmd' if args.objective == 'dmd' else 'sid'}"
-                       "_generator_loss")
+    if args.objective == "gan":
+        # classify-mode head on the fake score (model/gan.py:28-29,
+        # wan_wrapper.py:150-170); the GAN objective needs no real_score
+        from mmpl_tpu.training.gan import init_gan_head_params
+        models["gan_head"] = init_gan_head_params(
+            jax.random.PRNGKey(12), atten_dim=cfg.dim,
+            ffn_dim=cfg.ffn_dim, num_heads=cfg.num_heads)
+        gen_loss = dist.gan_generator_loss
+        critic_loss = dist.gan_critic_loss
+        critic_keys = ("fake_score", "gan_head")
+    else:
+        models["real_score"] = dit.init_dit_params(jax.random.PRNGKey(11),
+                                                   cfg, jnp.float32)
+        gen_loss = getattr(dist, f"{args.objective}_generator_loss")
+        critic_loss = dist.critic_loss
+        critic_keys = ("fake_score",)
+
     tx = optax.adamw(args.lr)
     opt_g = tx.init(models["generator"])
-    opt_c = tx.init(models["fake_score"])
+    opt_c = tx.init({k: models[k] for k in critic_keys})
 
     @jax.jit
     def gen_step(models, opt_g, batch, rng):
@@ -167,16 +181,16 @@ def main(argv=None):
 
     @jax.jit
     def critic_step(models, opt_c, batch, rng):
+        cparams = {k: models[k] for k in critic_keys}
         (loss, _), grads = jax.value_and_grad(
-            lambda f: dist.critic_loss({**models, "fake_score": f}, batch,
-                                       rng),
-            has_aux=True)(models["fake_score"])
-        upd, opt_c = tx.update(grads, opt_c, models["fake_score"])
-        return optax.apply_updates(models["fake_score"], upd), opt_c, loss
+            lambda c: critic_loss({**models, **c}, batch, rng),
+            has_aux=True)(cparams)
+        upd, opt_c = tx.update(grads, opt_c, cparams)
+        return optax.apply_updates(cparams, upd), opt_c, loss
 
     rng = jax.random.PRNGKey(args.seed + 1)
     for step in range(args.steps):
-        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
         ctx = jax.random.normal(k1, (args.batch_size, cfg.text_len,
                                      cfg.text_dim))
         emb = dit.embed_text(models["generator"], ctx)
@@ -188,9 +202,13 @@ def main(argv=None):
             "context": ctx,
             "uncond_context": jnp.zeros_like(ctx),
         }
+        if args.objective == "gan":
+            # real samples: dataset latents, or synthetic in smoke mode
+            batch["real_latents"] = jax.random.normal(
+                k4, (args.batch_size, F, 16, *lat_hw))
         t0 = time.time()
-        models["fake_score"], opt_c, closs = critic_step(models, opt_c,
-                                                         batch, k3)
+        new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
+        models.update(new_c)
         line = f"step {step}: critic={float(closs):.5f}"
         if (step + 1) % args.dfake_gen_update_ratio == 0:
             models["generator"], opt_g, gloss = gen_step(models, opt_g,
