@@ -37,6 +37,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# this image's tunneled TPU worker kills single programs running >~70 s;
+# the 1.3B fill groups exceed that in one 50-step program.  Segmented
+# execution is bit-identical (tests) and adds ~8 ms dispatch per segment.
+os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -141,6 +146,9 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows):
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
     pipe = CausalFPSInferencePipeline(cfg, params, plan=plan,
                                       sampling_steps=steps, dtype=dtype)
+    # the pipeline holds the fused copy; free the original (HBM headroom:
+    # 1.3B B=1 runs ~22 GB peak against 15.75 GB with both copies alive)
+    del params
     noise = jax.random.normal(jax.random.PRNGKey(10),
                               (B, plan.num_frames, C, H, W), jnp.float32)
     cond = jax.random.normal(jax.random.PRNGKey(11),
@@ -201,11 +209,18 @@ def main():
         f"tokens/frame={S}")
 
     # --- per-group proxy (r1 metric continuity + per-op regression) -------
-    group_times = bench_group_proxy(cfg, plan, B, C, H, W, dtype, repeats)
-    extrap_window_s = CFG_FORWARDS * sum(steps * t
-                                         for t in group_times.values())
-    extrap_window_s += CFG_FORWARDS * sum(
-        t for g, t in group_times.items() if not plan.groups[g].append_mode)
+    if os.environ.get("BENCH_SKIP_PROXY", "0") != "1":
+        group_times = bench_group_proxy(cfg, plan, B, C, H, W, dtype,
+                                        repeats)
+        import gc
+        gc.collect()   # drop the proxy's buffers before the real pipeline
+        extrap_window_s = CFG_FORWARDS * sum(steps * t
+                                             for t in group_times.values())
+        extrap_window_s += CFG_FORWARDS * sum(
+            t for g, t in group_times.items()
+            if not plan.groups[g].append_mode)
+    else:
+        group_times, extrap_window_s = {}, 0.0
 
     if extrapolate_layers is not None:
         # 14B path: scale the measured few-layer cost to the full depth.

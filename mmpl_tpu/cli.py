@@ -48,6 +48,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    # tunneled-TPU worker watchdog workaround (see pipelines/fps_inference):
+    # bound each solver program to ~10 steps; bit-identical to one program
+    os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
     args = parse_args(argv)
     if args.duration < 1:
         print("error: --duration must be >= 1", file=sys.stderr)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import attention
-from ..ops.rope import apply_rope, window_rope_table
+from ..ops.rope import apply_rope, apply_rope_split, window_rope_table
 
 Params = Dict[str, Any]
 
@@ -237,23 +237,41 @@ def gate(x: jnp.ndarray, g: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     return (xs * g.astype(x.dtype)).reshape(B, L, D)
 
 
-def fuse_qkv_params(params: Params) -> Params:
-    """Concatenate each block's q/k/v kernels into one [D, 3D] projection.
+def fuse_qkv_params(params: Params, num_heads: Optional[int] = None
+                    ) -> Params:
+    """Concatenate each block's q/k/v kernels into one [D, 3D] projection
+    AND permute q/k output channels to the split-half RoPE layout.
 
     Done once at load time (pipelines call this on the inference params):
-    the fused gemm reads the activations once instead of three times and
-    gives XLA one large MXU op per layer instead of three.  Works on the
-    stacked [L, D, D] block leaves; `qkv_project` dispatches on the fused
-    entry, so fused and unfused pytrees both run everywhere.
+    the fused gemm reads the activations once instead of three times, and
+    the channel permutation lets `apply_rope_split` run lane-aligned (the
+    q.k^T dot is invariant — see ops/rope.py).  Works on the stacked
+    [L, D, D] block leaves; `qkv_project` dispatches on the fused entry, so
+    fused and unfused pytrees both run everywhere.
+
+    num_heads: inferred as D // 128 when omitted; pass explicitly for
+    non-128 head dims.
     """
+    from ..ops.rope import split_rope_permutation
     sa = dict(params["blocks"]["self_attn"])
+    D = sa["q"]["kernel"].shape[-1]
+    n = num_heads if num_heads is not None else max(1, D // 128)
+    perm = jnp.asarray(split_rope_permutation(n, D // n))
+
+    def pq(leaf):          # permute the output-channel (last) dim
+        return jnp.take(leaf, perm, axis=-1)
+
     qkv = {"kernel": jnp.concatenate(
-        [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1)}
+        [pq(sa["q"]["kernel"]), pq(sa["k"]["kernel"]), sa["v"]["kernel"]],
+        axis=-1)}
     if "bias" in sa["q"]:
         qkv["bias"] = jnp.concatenate(
-            [sa["q"]["bias"], sa["k"]["bias"], sa["v"]["bias"]], axis=-1)
+            [pq(sa["q"]["bias"]), pq(sa["k"]["bias"]), sa["v"]["bias"]],
+            axis=-1)
     fused_sa = {k: v for k, v in sa.items() if k not in ("q", "k", "v")}
     fused_sa["qkv"] = qkv
+    fused_sa["norm_q"] = {"weight": pq(sa["norm_q"]["weight"])}
+    fused_sa["norm_k"] = {"weight": pq(sa["norm_k"]["weight"])}
     blocks = dict(params["blocks"])
     blocks["self_attn"] = fused_sa
     return {**params, "blocks": blocks}
@@ -265,9 +283,15 @@ def qkv_project(sp: Params, x: jnp.ndarray, n: int, d: int,
     """Self-attention q/k/v projection: fused or per-matrix kernels, QK
     RMS-norm (WanSelfAttention.qk_norm, model.py:102-156), optional RoPE.
 
+    Fused params (`fuse_qkv_params`) carry q/k channels in the split-half
+    RoPE layout, so RoPE applies via the lane-aligned `apply_rope_split`;
+    raw params keep the reference's interleaved pairing.  Attention output
+    is identical either way (shared q/k channel permutation).
+
     Returns (q, k, v) as [B, L, n, d]."""
     B, L, _ = x.shape
-    if "qkv" in sp:
+    fused = "qkv" in sp
+    if fused:
         q, k, v = jnp.split(linear(sp["qkv"], x), 3, axis=-1)
     else:
         q, k, v = (linear(sp["q"], x), linear(sp["k"], x),
@@ -276,8 +300,9 @@ def qkv_project(sp: Params, x: jnp.ndarray, n: int, d: int,
     k = rms_norm(k, sp["norm_k"]["weight"]).reshape(B, L, n, d)
     v = v.reshape(B, L, n, d)
     if cos is not None:
-        q = apply_rope(q, cos, sin, out_dtype=v.dtype)
-        k = apply_rope(k, cos, sin, out_dtype=v.dtype)
+        rope = apply_rope_split if fused else apply_rope
+        q = rope(q, cos, sin, out_dtype=v.dtype)
+        k = rope(k, cos, sin, out_dtype=v.dtype)
     return q, k, v
 
 

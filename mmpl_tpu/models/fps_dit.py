@@ -44,11 +44,17 @@ def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
                   dtype=jnp.bfloat16) -> Params:
     """Zeroed planned KV cache (casual_fps_inference.py:453-480).
 
-    Layout [L, B, SLOTS, S, N, d]: frame-slot granular so plan writes and
-    visibility gathers are single static slices.
+    Layout [L, B, SLOTS, S, N*d]: frame-slot granular so plan writes and
+    visibility gathers are single static slices.  Heads are MERGED into
+    the minor dim on purpose: TPU tiles the two minor dims as (8, 128), so
+    a trailing (N=12, d=128) would pad 12 -> 16 sublanes — +33% HBM on
+    every cache buffer plus layout-conversion copies (the 1.3B batched-CFG
+    cache measured 10.7 GB instead of 8.0).  (S, N*d) = (1560, 1536) tiles
+    exactly, and the (n, d) split/merge at the attention boundary is a
+    free minor-dim reshape.
     """
     n, d = cfg.num_heads, cfg.dim // cfg.num_heads
-    shape = (cfg.num_layers, batch_size, num_slots, tokens_per_frame, n, d)
+    shape = (cfg.num_layers, batch_size, num_slots, tokens_per_frame, n * d)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -120,7 +126,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
             kv_k, kv_v = k, v
         out = attention(q, kv_k, kv_v)
         return (linear(sp["o"], out.reshape(B, L, -1)),
-                k.reshape(B, G, S, n, d), v.reshape(B, G, S, n, d))
+                k.reshape(B, G, S, n * d), v.reshape(B, G, S, n * d))
 
     def scan_body(x, layer_in):
         bp, ckv, ck, cv = layer_in

@@ -60,21 +60,48 @@ def dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas TPU flash attention
 # ---------------------------------------------------------------------------
 
+#: per-(Lq, Lk) tuned block sizes, measured on v5e with the bias-row
+#: kernel (tools/perf_probe.py + /tmp/b1_blocks harness, 2026-08-16).
+#: With padding handled by the bias row, (256, 2048) wins at both hot
+#: shapes for B=1 and B=2 (within ~1.5% of every alternative tried,
+#: incl. exact divisors like (520, 2600)); larger bq is never better and
+#: bk=4096 crashes Mosaic at bq>=1024.
+_BLOCK_TABLE = {
+    (10920, 14040): (256, 2048),   # group1/anchor: 16.2ms/layer @ B=2
+    (9360, 23400): (256, 2048),    # group2/3 fill: 23.4ms/layer @ B=2
+}
+
+
+def _pick_blocks(Lq: int, Lk: int, block_q: int, block_k: int):
+    if (Lq, Lk) in _BLOCK_TABLE:
+        return _BLOCK_TABLE[(Lq, Lk)]
+    block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (Lk - 1).bit_length()))
+    return block_q, block_k
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
-                    block_q: int = 512, block_k: int = 2048,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Pallas flash attention. q [B, Lq, N, D], k/v [B, Lk, N, D].
 
-    Pads both sequence dims to block multiples (padding keys are masked,
-    padding queries sliced off); differentiable (custom VJP with Pallas
-    backward kernels), so the same path serves inference and the
-    self-forcing training rollouts.
+    Pads both sequence dims to block multiples (padding keys get a -inf
+    bias row, padding queries sliced off); differentiable (custom VJP with
+    Pallas backward kernels), so the same path serves inference and the
+    self-forcing training rollouts.  Block sizes default to the measured
+    per-shape table with a pow2 fallback.
     """
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
-    block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (Lk - 1).bit_length()))
+    if block_q is None or block_k is None:
+        bq, bk = _pick_blocks(Lq, Lk, block_q or 512, block_k or 2048)
+        block_q = block_q or bq
+        block_k = block_k or bk
+    else:
+        block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
+        block_k = min(block_k, max(128, 1 << (Lk - 1).bit_length()))
     return flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
 
 
@@ -230,9 +257,16 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # logsumexp; the backward reconstructs p tile-by-tile from (q, k, lse) and
 # accumulates dv/dk over query blocks and dq over key blocks.
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                      m_scr, l_scr, acc_scr, *,
-                      kv_len: int, block_k: int, scale: float):
+def _flash_fwd_kernel(*refs, scale: float, padded: bool):
+    """Key padding is handled by a precomputed bias row (leading input when
+    `padded`): one fused add instead of the iota + compare + select
+    triple-pass over the s tile; unpadded shapes pay nothing."""
+    if padded:
+        (bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -246,9 +280,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-             < (kv_len - ki * block_k))
-    s = jnp.where(valid, s, NEG_INF)
+    if padded:
+        s = s + bias_ref[...]          # [1, BK] broadcasts over rows
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -275,8 +308,13 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, dk_scr, dv_scr, *,
-                          q_len: int, block_q: int, scale: float):
-    """grid (B, N, Kb, Qb): accumulate dk/dv for one key block."""
+                          scale: float):
+    """grid (B, N, Kb, Qb): accumulate dk/dv for one key block.
+
+    No padding masks needed: padded q rows are zero AND their do/delta are
+    zero, so their contributions to dv (p^T @ do) and dk (ds^T @ q, with
+    ds = p * (do@v^T - delta) = 0) vanish identically.
+    """
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
 
@@ -294,9 +332,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    qvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-              < (q_len - qi * block_q))
-    p = jnp.where(qvalid, jnp.exp(s - lse2), 0.0)   # [BQ, BK]
+    p = jnp.exp(s - lse2)                           # [BQ, BK]
 
     dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -315,9 +351,13 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, dq_scr, *,
-                         kv_len: int, block_k: int, scale: float):
-    """grid (B, N, Qb, Kb): accumulate dq for one query block."""
+                         dq_ref, dq_scr, *, scale: float):
+    """grid (B, N, Qb, Kb): accumulate dq for one query block.
+
+    No key-padding mask needed: padded k/v rows are zero, so their spurious
+    p entries contribute ds@k = ds * 0 to dq and dp = do @ 0 to ds exactly
+    as if masked.
+    """
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -334,9 +374,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    kvalid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-              < (kv_len - ki * block_k))
-    p = jnp.where(kvalid, jnp.exp(s - lse2), 0.0)
+    p = jnp.exp(s - lse2)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -375,15 +413,22 @@ def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
     vt, _ = _pad_lnd(jnp.swapaxes(v, 1, 2), block_k)
     Lqp, Lkp = qt.shape[2], kt.shape[2]
     grid = (B, N, Lqp // block_q, Lkp // block_k)
-    kernel = functools.partial(_flash_fwd_kernel, kv_len=Lk,
-                               block_k=block_k, scale=sc)
+    padded = Lkp != Lk
+    kernel = functools.partial(_flash_fwd_kernel, scale=sc, padded=padded)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
+    ]
+    operands = [qt, kt, vt]
+    if padded:
+        bias = jnp.full((1, Lkp), NEG_INF, jnp.float32).at[:, :Lk].set(0.0)
+        in_specs.insert(0, pl.BlockSpec((1, block_k),
+                                        lambda b, n, qi, ki: (0, ki)))
+        operands.insert(0, bias)
     o, lse = pl.pallas_call(
         kernel, grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, n, qi, ki: (b, n, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
@@ -395,7 +440,7 @@ def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
                         pltpu.VMEM((block_q, 128), jnp.float32),
                         pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(qt, kt, vt)
+    )(*operands)
     return jnp.swapaxes(o[:, :, :Lq], 1, 2), (q, k, v, o, lse)
 
 
@@ -424,8 +469,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
     Lqp, Lkp = qt.shape[2], kt.shape[2]
     gridkv = (B, N, Lkp // block_k, Lqp // block_q)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, q_len=Lq,
-                          block_q=block_q, scale=sc),
+        functools.partial(_flash_bwd_dkv_kernel, scale=sc),
         grid=gridkv,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, ki, qi: (b, n, qi, 0)),
@@ -450,8 +494,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
 
     gridq = (B, N, Lqp // block_q, Lkp // block_k)
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, kv_len=Lk,
-                          block_k=block_k, scale=sc),
+        functools.partial(_flash_bwd_dq_kernel, scale=sc),
         grid=gridq,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, n, qi, ki: (b, n, qi, 0)),

@@ -86,6 +86,37 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     return out.reshape(B, L, N, D).astype(out_dtype)
 
 
+def apply_rope_split(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                     out_dtype=None) -> jnp.ndarray:
+    """Rotate x [B, L, N, D] whose per-head channels are in SPLIT-HALF
+    layout ([re_0..re_{D/2-1} | im_0..im_{D/2-1}]).
+
+    Equivalent to `apply_rope` on interleaved channels after permuting the
+    q/k projection weights at load time (`dit.fuse_qkv_params`) — the q.k^T
+    dot is invariant under a shared channel permutation of q and k.  The
+    win: lane-aligned halves fuse into the surrounding elementwise ops,
+    where the interleaved version's stride-2 pair reshapes materialise fp32
+    copies (~45 ms/step on the 1.3B group forward, tools/perf_ablate.py).
+    """
+    out_dtype = out_dtype or x.dtype
+    half = x.shape[-1] // 2
+    re = x[..., :half].astype(jnp.float32)
+    im = x[..., half:].astype(jnp.float32)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([re * c - im * s, re * s + im * c],
+                           axis=-1).astype(out_dtype)
+
+
+def split_rope_permutation(num_heads: int, head_dim: int) -> np.ndarray:
+    """Channel permutation taking interleaved (re, im) pairs to split-half
+    layout, per head: new[i] = old[2i], new[D/2 + i] = old[2i + 1]."""
+    per_head = np.concatenate([np.arange(0, head_dim, 2),
+                               np.arange(1, head_dim, 2)])
+    return np.concatenate([h * head_dim + per_head
+                           for h in range(num_heads)])
+
+
 def window_rope_table(num_frames: int, grid_h: int, grid_w: int,
                       head_dim: int) -> Tuple[np.ndarray, np.ndarray]:
     """Dense table for a contiguous [0, num_frames) window (bidirectional DiT)."""

@@ -116,12 +116,13 @@ def shard_params_for_inference(params, mesh: Mesh):
 
 def kv_cache_shardings(mesh: Mesh, cache, dp_axis: str = "dp",
                        tp_axis: str = "tp"):
-    """NamedSharding pytree for a KV cache of leaves [L, B, SLOTS, S, N, d].
+    """NamedSharding pytree for a KV cache of leaves [L, B, SLOTS, S, N*d].
 
     Batch (axis 1 — the stacked [cond; uncond] CFG pair) shards over `dp`,
-    heads (axis -2) over `tp`; axes that don't exist on the mesh or don't
-    divide the dim are dropped.  Works on concrete arrays or ShapeDtypeStructs
-    (usable as jit `out_shardings` so a 14B cache is *created* sharded).
+    the merged head-feature minor dim over `tp` (contiguous blocks of
+    heads); axes that don't exist on the mesh or don't divide the dim are
+    dropped.  Works on concrete arrays or ShapeDtypeStructs (usable as jit
+    `out_shardings` so a 14B cache is *created* sharded).
     """
     def spec(leaf):
         dims = [None] * leaf.ndim
@@ -129,8 +130,8 @@ def kv_cache_shardings(mesh: Mesh, cache, dp_axis: str = "dp",
                 and leaf.shape[1] % mesh.shape[dp_axis] == 0):
             dims[1] = dp_axis
         if (tp_axis in mesh.shape and leaf.ndim >= 2
-                and leaf.shape[-2] % mesh.shape[tp_axis] == 0):
-            dims[-2] = tp_axis
+                and leaf.shape[-1] % mesh.shape[tp_axis] == 0):
+            dims[-1] = tp_axis
         return NamedSharding(mesh, P(*dims))
     return jax.tree.map(spec, cache)
 

@@ -28,7 +28,7 @@ class BidirectionalDiffusionInferencePipeline:
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
@@ -80,7 +80,7 @@ class BidirectionalInferencePipeline:
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         self.params = params
         self.steps = tuple(int(t) for t in denoising_step_list)
         self.dtype = dtype

@@ -34,7 +34,7 @@ class CausalDiffusionInferencePipeline:
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.num_frame_per_block = num_frame_per_block

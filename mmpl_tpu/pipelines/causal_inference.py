@@ -70,7 +70,7 @@ class CausalInferencePipeline:
         self.cfg = cfg
         if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise
@@ -108,9 +108,11 @@ class CausalInferencePipeline:
         B, G = noisy.shape[0], schedule.num_frames
         x = noisy.astype(jnp.float32)
         steps = self.denoising_step_list
+        # per-step cache writes are dead (a block never reads its own
+        # slots) — discard them; only the commit below writes the cache
         for i, t_int in enumerate(steps):
             tt = jnp.full((B, G), float(t_int), jnp.float32)
-            flow, cache = fps_forward_group(
+            flow, _ = fps_forward_group(
                 params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
                 schedule)
             x0 = self.scheduler.convert_flow_pred_to_x0(
@@ -172,9 +174,10 @@ class CausalInferencePipeline:
 
         x = noisy.astype(jnp.float32)
         steps = self.denoising_step_list
+        # per-step cache writes are dead here too (own slots never read)
         for i, t_int in enumerate(steps):
             tt = jnp.full((B, G), float(t_int), jnp.float32)
-            flow, cache = fps_forward_group(
+            flow, _ = fps_forward_group(
                 params, self.cfg, x.astype(self.dtype), tt, ctx_kv, cache,
                 sched, rope_cs=rope_cs)
             x0 = self.scheduler.convert_flow_pred_to_x0(

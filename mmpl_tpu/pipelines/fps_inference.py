@@ -66,7 +66,8 @@ class CausalFPSInferencePipeline:
         self.mesh = mesh
         if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)   # one [D,3D] gemm per layer
+            # one [D,3D] gemm per layer + split-half rope layout
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         if mesh is not None and shard_params:
             from ..parallel.mesh import shard_params_for_inference
             params = shard_params_for_inference(params, mesh)
@@ -100,6 +101,17 @@ class CausalFPSInferencePipeline:
         self._commit_fns: Dict[int, callable] = {}
         self._ctx_fn = None
         self._assemble_fn = None
+        #: sync after each group dispatch — workaround for tunneled-TPU
+        #: environments whose worker drops executions queued behind >~60 s
+        #: of work (MMPL_SYNC_GROUPS=1; bench.py sets this). Off by
+        #: default: async dispatch is what overlaps the chunk pipeline.
+        import os as _os
+        self.block_per_group = _os.environ.get("MMPL_SYNC_GROUPS") == "1"
+        #: >0: run the solver loop as ceil(steps/K) shorter programs (same
+        #: math, one reusable compiled segment) — required on runtimes
+        #: that bound per-program execution time (MMPL_STEPS_PER_PROGRAM)
+        self.steps_per_program = int(
+            _os.environ.get("MMPL_STEPS_PER_PROGRAM", "0"))
         #: host-side dispatch time per group of the last inference() call
         self.phase_times: Dict[str, float] = {}
 
@@ -165,13 +177,19 @@ class CausalFPSInferencePipeline:
 
         state = self.sampler.init_state(latents)
 
-        def body(carry, step_in):
-            cache, state = carry
+        # The cache is a loop INVARIANT, not a carry: a group never reads
+        # its own slots (visibility gathers exclude own frames — fps_dit),
+        # so the per-step own-KV writes are dead until the final commit.
+        # Discarding them (a) lets XLA DCE ~4 GB/step of dead cache writes
+        # and (b) halves the program's cache footprint — the batched-CFG
+        # 1.3B window did not fit 16 GB with the cache double-buffered
+        # through the 50-step scan.
+        def body(state, step_in):
             coef, t = step_in
             lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
             lat2 = self._constrain_pair(lat2)
             tt = jnp.broadcast_to(t, (2 * B, G))
-            flow2, cache = fps_forward_group(
+            flow2, _ = fps_forward_group(
                 params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
                 cache, schedule)
             cond, uncond = flow2[:B], flow2[B:]
@@ -179,20 +197,96 @@ class CausalFPSInferencePipeline:
                     + self.guidance_scale
                     * (cond.astype(jnp.float32) - uncond.astype(jnp.float32)))
             state = type(self.sampler).step(coef, state, flow)
-            return (cache, state), None
+            return state, None
 
-        (cache, state), _ = jax.lax.scan(
-            body, (cache, state),
-            (self.sampler.table, self.sampler.timesteps))
+        state, _ = jax.lax.scan(
+            body, state, (self.sampler.table, self.sampler.timesteps))
         final = state["sample"]
 
         if not schedule.append_mode:
-            # clean-KV commit (t = 0 rerun)
+            # clean-KV commit (t = 0 rerun) — the only surviving cache write
             lat2 = self._constrain_pair(jnp.concatenate([final, final], 0))
             tt = jnp.zeros((2 * B, G), jnp.float32)
             _, cache = fps_forward_group(
                 params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
                 cache, schedule)
+        return final, cache
+
+    # -- segmented execution (bounded per-program runtime) ---------------
+
+    def _init_group_state(self, schedule: GroupSchedule, noisy,
+                          reseed_first, reseed_last, rng):
+        """Reseed + solver-state init, jitted separately for segmenting."""
+        latents = noisy.astype(jnp.float32)
+        if schedule.reseed:
+            B = noisy.shape[0]
+            k1, k2 = jax.random.split(rng)
+            ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
+            n1 = jax.random.normal(k1, latents[:, 0:1].shape, jnp.float32)
+            n2 = jax.random.normal(k2, latents[:, -1:].shape, jnp.float32)
+            latents = latents.at[:, 0:1].set(
+                self.ddpm.add_noise(reseed_first.astype(jnp.float32), n1,
+                                    ts))
+            latents = latents.at[:, -1:].set(
+                self.ddpm.add_noise(reseed_last.astype(jnp.float32), n2,
+                                    ts))
+        return self.sampler.init_state(latents)
+
+    def _denoise_segment(self, schedule: GroupSchedule, params, ctx_kv2,
+                         cache, state, coefs, ts):
+        """A slice of the solver loop: same step body, table slice passed
+        as inputs so ONE compiled program serves every segment."""
+        B = state["sample"].shape[0]
+        G = schedule.num_frames
+
+        def body(state, step_in):
+            coef, t = step_in
+            lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            lat2 = self._constrain_pair(lat2)
+            tt = jnp.broadcast_to(t, (2 * B, G))
+            flow2, _ = fps_forward_group(
+                params, self.cfg, lat2.astype(self.dtype), tt, ctx_kv2,
+                cache, schedule)
+            cond, uncond = flow2[:B], flow2[B:]
+            flow = (uncond.astype(jnp.float32)
+                    + self.guidance_scale
+                    * (cond.astype(jnp.float32)
+                       - uncond.astype(jnp.float32)))
+            return type(self.sampler).step(coef, state, flow), None
+
+        state, _ = jax.lax.scan(body, state, (coefs, ts))
+        return state
+
+    def _run_group_segmented(self, gi: int, ctx_kv2, cache, noisy, rf, rl,
+                             rng):
+        """Dispatch one group as ceil(steps / steps_per_program) programs
+        plus the commit — each bounded in runtime (this image's tunneled
+        TPU worker kills executions running longer than ~70 s, which the
+        1.3B fill groups exceed in one 50-step program).  A ragged tail
+        segment just traces a second program variant."""
+        group = self.plan.groups[gi]
+        K = self.steps_per_program
+        if f"init{gi}" not in self._group_fns:
+            self._group_fns[f"init{gi}"] = jax.jit(functools.partial(
+                self._init_group_state, group))
+            self._group_fns[f"seg{gi}"] = jax.jit(functools.partial(
+                self._denoise_segment, group), donate_argnums=(3,))
+        state = self._group_fns[f"init{gi}"](noisy, rf, rl, rng)
+        table = self.sampler.table
+        ts = self.sampler.timesteps
+        n = int(ts.shape[0])
+        seg = self._group_fns[f"seg{gi}"]
+        for s in range(0, n, K):
+            e = min(s + K, n)
+            coefs = jax.tree.map(lambda a: a[s:e], table)
+            state = seg(self.params, ctx_kv2, cache, state, coefs,
+                        ts[s:e])
+            if self.block_per_group:
+                jax.block_until_ready(state["sample"])
+        final = state["sample"]
+        if not group.append_mode:
+            cache = self._get_commit_fn(gi)(self.params, ctx_kv2, cache,
+                                            final)
         return final, cache
 
     def _commit_group(self, schedule: GroupSchedule, params, ctx_kv2,
@@ -318,9 +412,16 @@ class CausalFPSInferencePipeline:
                 rf, rl = frame_latent(s0), frame_latent(s1)
             else:
                 rf = rl = zeros1
-            latents, cache = self._get_group_fn(gi)(
-                self.params, ctx_kv2, cache, noise[:, list(group.frames)],
-                rf, rl, sub)
+            if self.steps_per_program > 0:
+                latents, cache = self._run_group_segmented(
+                    gi, ctx_kv2, cache, noise[:, list(group.frames)],
+                    rf, rl, sub)
+            else:
+                latents, cache = self._get_group_fn(gi)(
+                    self.params, ctx_kv2, cache,
+                    noise[:, list(group.frames)], rf, rl, sub)
+            if self.block_per_group:
+                jax.block_until_ready(latents)
             group_out[gi] = latents
             self.phase_times[f"group{gi}_dispatch_s"] = (
                 time.perf_counter() - t0)

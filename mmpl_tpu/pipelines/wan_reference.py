@@ -56,7 +56,7 @@ class WanT2V:
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
-            params = fuse_qkv_params(params)
+            params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         self.params = params
         self.vae_params = vae_params
         self.text_encoder = text_encoder

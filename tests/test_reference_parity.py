@@ -219,9 +219,9 @@ def test_fps_inference_parity_all_groups(setup):
 
         # cache parity at the written slots
         if not group.append_mode:
-            ours_k = np.asarray(cache["k"])       # [L,B,slots,S,n,d]
+            ours_k = np.asarray(cache["k"])       # [L,B,slots,S,n*d]
             for li in range(cfg.num_layers):
-                ref_k = tcache[li]["k"].numpy().reshape(B, 15, S, n, d)
+                ref_k = tcache[li]["k"].numpy().reshape(B, 15, S, n * d)
                 for f, slot in zip(group.frames, group.write_slots):
                     e = np.abs(ours_k[li, :, slot] - ref_k[:, slot]).max()
                     assert e < 2e-3, (gi, li, f, slot, e)
