@@ -164,6 +164,7 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
                       clean_x: Optional[jnp.ndarray] = None,
                       aug_t: Optional[jnp.ndarray] = None,
                       remat: bool = True,
+                      remat_group: int = 1,
                       use_flash_kernel: bool = True) -> jnp.ndarray:
     """Training forward with teacher forcing (no KV cache).
 
@@ -252,11 +253,40 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
         block_apply = jax.checkpoint(block_apply,
                                      prevent_cse=False)
 
-    def scan_body(x, layer_in):
-        bp, ckv = layer_in
-        return block_apply(x, bp, ckv), None
+    if remat and remat_group > 1:
+        # grouped remat: checkpoint a g-layer segment so the scan stores
+        # the inter-layer activation only every g layers — 1/g of the
+        # 201 MB/layer saved-x at the 42x1560 TF shape (the full-depth
+        # 1.3B backward does not fit 16 GB with per-layer boundaries).
+        Lyr = cfg.num_layers
+        assert Lyr % remat_group == 0, (Lyr, remat_group)
+        g = remat_group
+        grouped = jax.tree.map(
+            lambda a: a.reshape((Lyr // g, g) + a.shape[1:]),
+            (params["blocks"], ctx_kv))
 
-    x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
+        @partial(jax.checkpoint, prevent_cse=False)
+        def seg_apply(x, seg_in):
+            bps, ckvs = seg_in
+            for i in range(g):
+                bp = jax.tree.map(lambda a: a[i], bps)
+                ckv = jax.tree.map(lambda a: a[i], ckvs)
+                x = block_forward(bp, cfg, x, e0,
+                                  lambda xm: self_attn(bp["self_attn"],
+                                                       xm), ckv,
+                                  num_seq_frames)
+            return x
+
+        def seg_body(x, seg_in):
+            return seg_apply(x, seg_in), None
+
+        x, _ = jax.lax.scan(seg_body, x, grouped)
+    else:
+        def scan_body(x, layer_in):
+            bp, ckv = layer_in
+            return block_apply(x, bp, ckv), None
+
+        x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
 
     if clean_x is not None:
         x = x[:, x.shape[1] // 2:]

@@ -232,6 +232,21 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = np.zeros((Lkp, Fp), np.float32)
     kf[np.arange(Lkp), np.minimum(kf_ids, Fp - 1)] = (kf_ids < F)
 
+    # Block-level admissibility: tiles whose frame pairs are ALL masked are
+    # skipped inside the kernels (the FlexAttention block-sparsity the
+    # reference relies on, causal_fps_model.py:24-25).  The fps-forcing
+    # mask admits only ~37% of (512, 2048) tiles at the 42-frame TF shape,
+    # so skipping is a ~2.7x compute cut on the training attention.
+    fmb = np.zeros((F + 1, F + 1), bool)
+    fmb[:F, :F] = fm.astype(bool)
+    nq_b, nk_b = Lqp // block_q, Lkp // block_k
+    adm = np.zeros((nq_b, nk_b), np.int32)
+    for qi in range(nq_b):
+        qs = np.unique(qf_ids[qi * block_q:(qi + 1) * block_q])
+        for ki in range(nk_b):
+            ks = np.unique(kf_ids[ki * block_k:(ki + 1) * block_k])
+            adm[qi, ki] = int(fmb[np.ix_(qs, ks)].any())
+
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -242,7 +257,7 @@ def frame_masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
 
     meta = _MaskedMeta(qf, kf, fm_p, Fp, scale, block_q, block_k,
-                       interpret, Lq, Lk)
+                       interpret, Lq, Lk, adm)
     out = _masked_flash_vjp(qt, kt, vt, meta)
     if Lqp != Lq:
         out = out[:, :, :Lq]
@@ -539,8 +554,8 @@ def _mask_tile(oh_q, oh_k, fm_ref, Fp):
                                preferred_element_type=jnp.float32)
 
 
-def _masked_fwd_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
-                       o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+def _masked_fwd_kernel(adm_ref, qf_ref, kf_ref, fm_ref, q_ref, k_ref,
+                       v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                        scale: float, num_frames_padded: int):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -551,25 +566,29 @@ def _masked_fwd_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s = jax.lax.dot_general(q_ref[0, 0], k_ref[0, 0],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    allowed = _mask_tile(qf_ref[:, :], kf_ref[:, :], fm_ref,
-                         num_frames_padded)
-    s = jnp.where(allowed > 0.5, s, NEG_INF)
+    # block skip (FlexAttention-style): fully-masked tiles contribute
+    # nothing — leave the running state untouched and pay no MXU/VPU
+    @pl.when(adm_ref[pl.program_id(2), ki] > 0)
+    def _():
+        s = jax.lax.dot_general(q_ref[0, 0], k_ref[0, 0],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        allowed = _mask_tile(qf_ref[:, :], kf_ref[:, :], fm_ref,
+                             num_frames_padded)
+        s = jnp.where(allowed > 0.5, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
-    alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
-    p = jnp.where(allowed > 0.5, jnp.exp(s - shift), 0.0)
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+        p = jnp.where(allowed > 0.5, jnp.exp(s - shift), 0.0)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -593,9 +612,9 @@ def _masked_p(q, k, lse2, oh_q, oh_k, fm_ref, Fp, scale):
     return jnp.where((allowed > 0.5) & (lse2 != NEG_INF), p, 0.0)
 
 
-def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
-                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                           dk_scr, dv_scr, *, scale: float,
+def _masked_bwd_dkv_kernel(adm_ref, qf_ref, kf_ref, fm_ref, q_ref, k_ref,
+                           v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                           dv_ref, dk_scr, dv_scr, *, scale: float,
                            num_frames_padded: int):
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -605,23 +624,25 @@ def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse2 = lse_ref[0, 0]                            # [BQ, 1]
-    delta2 = delta_ref[0, 0]
-    p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
-                  num_frames_padded, scale)
-    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta2)
-    dk_scr[:] += scale * jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(adm_ref[qi, pl.program_id(2)] > 0)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse2 = lse_ref[0, 0]                            # [BQ, 1]
+        delta2 = delta_ref[0, 0]
+        p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
+                      num_frames_padded, scale)
+        dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta2)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
     def _():
@@ -629,9 +650,9 @@ def _masked_bwd_dkv_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _masked_bwd_dq_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
-                          do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
-                          scale: float, num_frames_padded: int):
+def _masked_bwd_dq_kernel(adm_ref, qf_ref, kf_ref, fm_ref, q_ref, k_ref,
+                          v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                          dq_scr, *, scale: float, num_frames_padded: int):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -639,21 +660,23 @@ def _masked_bwd_dq_kernel(qf_ref, kf_ref, fm_ref, q_ref, k_ref, v_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse2 = lse_ref[0, 0]                            # [BQ, 1]
-    delta2 = delta_ref[0, 0]
-    p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
-                  num_frames_padded, scale)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta2)
-    dq_scr[:] += scale * jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(adm_ref[pl.program_id(2), ki] > 0)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse2 = lse_ref[0, 0]                            # [BQ, 1]
+        delta2 = delta_ref[0, 0]
+        p = _masked_p(q, k, lse2, qf_ref[:, :], kf_ref[:, :], fm_ref,
+                      num_frames_padded, scale)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta2)
+        dq_scr[:] += scale * jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -664,7 +687,7 @@ class _MaskedMeta:
     """Static (non-differentiable) metadata for the masked VJP."""
 
     def __init__(self, qf, kf, fm_p, Fp, scale, block_q, block_k,
-                 interpret, Lq, Lk):
+                 interpret, Lq, Lk, adm):
         import numpy as np
         self.qf = qf
         self.kf = kf
@@ -676,13 +699,14 @@ class _MaskedMeta:
         self.interpret = interpret
         self.Lq = Lq
         self.Lk = Lk
+        self.adm = adm          # [nQ, nK] int32 block admissibility
 
     def __hash__(self):
         import numpy as np
         return hash((self.qf.tobytes(), self.kf.tobytes(),
                      self.fm_p.tobytes(), self.Fp, self.scale,
                      self.block_q, self.block_k, self.interpret,
-                     self.Lq, self.Lk))
+                     self.Lq, self.Lk, self.adm.tobytes()))
 
     def __eq__(self, other):
         import numpy as np
@@ -699,6 +723,7 @@ def _masked_flash_vjp(qt, kt, vt, meta):
 def _masked_common_specs(meta, D):
     bq, bk = meta.block_q, meta.block_k
     return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # adm
         pl.BlockSpec((bq, meta.Fp), lambda b, n, qi, ki: (qi, 0)),
         pl.BlockSpec((bk, meta.Fp), lambda b, n, qi, ki: (ki, 0)),
         pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
@@ -731,7 +756,8 @@ def _masked_vjp_fwd_impl(qt, kt, vt, meta):
                         pltpu.VMEM((bq, 128), jnp.float32),
                         pltpu.VMEM((bq, D), jnp.float32)],
         interpret=meta.interpret,
-    )(jnp.asarray(qf2), jnp.asarray(kf2), jnp.asarray(meta.fm_p), qt, kt, vt)
+    )(jnp.asarray(meta.adm), jnp.asarray(qf2), jnp.asarray(kf2),
+      jnp.asarray(meta.fm_p), qt, kt, vt)
     return o, (qt, kt, vt, o, lse)
 
 
@@ -754,11 +780,13 @@ def _masked_vjp_bwd(meta, res, g):
 
     lse_spec = pl.BlockSpec((1, 1, bq, 1),
                             lambda b, n, ki, qi: (b, n, qi, 0))
+    adm_j = jnp.asarray(meta.adm)
     dk, dv = pl.pallas_call(
         functools.partial(_masked_bwd_dkv_kernel, scale=meta.scale,
                           num_frames_padded=meta.Fp),
         grid=(B, N, Lkp // bk, Lqp // bq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # adm
             pl.BlockSpec((bq, meta.Fp), lambda b, n, ki, qi: (qi, 0)),
             pl.BlockSpec((bk, meta.Fp), lambda b, n, ki, qi: (ki, 0)),
             pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, ki, qi: (0, 0)),
@@ -778,7 +806,7 @@ def _masked_vjp_bwd(meta, res, g):
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
                         pltpu.VMEM((bk, D), jnp.float32)],
         interpret=meta.interpret,
-    )(qf2, kf2, fm, qt, kt, vt, do, lse, delta)
+    )(adm_j, qf2, kf2, fm, qt, kt, vt, do, lse, delta)
 
     lse_spec_q = pl.BlockSpec((1, 1, bq, 1),
                               lambda b, n, qi, ki: (b, n, qi, 0))
@@ -787,6 +815,7 @@ def _masked_vjp_bwd(meta, res, g):
                           num_frames_padded=meta.Fp),
         grid=(B, N, Lqp // bq, Lkp // bk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # adm
             pl.BlockSpec((bq, meta.Fp), lambda b, n, qi, ki: (qi, 0)),
             pl.BlockSpec((bk, meta.Fp), lambda b, n, qi, ki: (ki, 0)),
             pl.BlockSpec((meta.Fp, meta.Fp), lambda b, n, qi, ki: (0, 0)),
@@ -802,7 +831,7 @@ def _masked_vjp_bwd(meta, res, g):
         out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), qt.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         interpret=meta.interpret,
-    )(qf2, kf2, fm, qt, kt, vt, do, lse, delta)
+    )(adm_j, qf2, kf2, fm, qt, kt, vt, do, lse, delta)
     return dq, dk, dv
 
 

@@ -40,10 +40,18 @@ def sample_block_timesteps(key, batch: int, num_frames: int,
 
 
 def make_loss_fn(cfg, scheduler: FlowMatchScheduler,
-                 cfg_dropout: float = 0.1):
-    """Flow-matching MSE with timestep weighting on the Wan DiT."""
+                 cfg_dropout: float = 0.1, compute_dtype=None):
+    """Flow-matching MSE with timestep weighting on the Wan DiT.
+
+    compute_dtype: trunk precision (default bf16 mixed precision; loss
+    math stays fp32 — see make_teacher_forcing_loss_fn)."""
+    cdtype = compute_dtype if compute_dtype is not None else jnp.bfloat16
 
     def loss_fn(params, batch, rng):
+        params = jax.tree.map(
+            lambda a: a.astype(cdtype)
+            if (hasattr(a, "dtype") and a.dtype == jnp.float32) else a,
+            params)
         x0 = batch["latents"]               # [B, F, C, H, W]
         context = batch["context"]          # [B, 512, text_dim]
         B, F = x0.shape[:2]
@@ -62,7 +70,7 @@ def make_loss_fn(cfg, scheduler: FlowMatchScheduler,
         drop = jax.random.bernoulli(k3, cfg_dropout, (B, 1, 1))
         context = jnp.where(drop, jnp.zeros_like(context), context)
 
-        flow_pred = dit_forward(params, cfg, xt.astype(x0.dtype), t_sched,
+        flow_pred = dit_forward(params, cfg, xt.astype(cdtype), t_sched,
                                 context)
         target = noise - x0.astype(jnp.float32)
         err = (flow_pred.astype(jnp.float32) - target) ** 2
@@ -76,7 +84,9 @@ def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
                                  frame_mask,
                                  num_frame_per_block: int = 3,
                                  noise_aug_max_timestep: int = 0,
-                                 cfg_dropout: float = 0.1):
+                                 cfg_dropout: float = 0.1,
+                                 remat_group: int = 1,
+                                 compute_dtype=None):
     """CausalDiffusion generator loss (model/diffusion.py:111-204).
 
     Teacher forcing: the [clean | noisy] sequence runs under `frame_mask`
@@ -86,13 +96,25 @@ def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
      10% unconditional-context dropout (diffusion.py:174-191).
 
     batch: {"latents" [B,F,C,H,W], "context", "uncond_context"}.
+
+    compute_dtype: trunk precision (mixed precision — the torch reference
+    trains under bf16 autocast with fp32 master weights).  Default
+    bfloat16: an fp32 trunk at the 42x1560 teacher-forcing shape doubles
+    every activation (the full-depth 1.3B backward cannot fit 16 GB) and
+    halves the MXU rate.  The noising/weighting math stays fp32; grads
+    flow through the cast back to the fp32 masters.
     """
     import jax.numpy as jnp
     from ..models.fps_dit import fps_forward_train
 
     mask = jnp.asarray(frame_mask)
+    cdtype = compute_dtype if compute_dtype is not None else jnp.bfloat16
 
     def loss_fn(params, batch, rng):
+        cparams = jax.tree.map(
+            lambda a: a.astype(cdtype)
+            if (hasattr(a, "dtype") and a.dtype == jnp.float32) else a,
+            params)
         x0 = batch["latents"].astype(jnp.float32)
         B, F = x0.shape[:2]
         k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -123,9 +145,10 @@ def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
         drop = jax.random.uniform(k4, ()) <= cfg_dropout
         ctx = jnp.where(drop, batch["uncond_context"], batch["context"])
 
-        flow = fps_forward_train(params, cfg, noisy.astype(x0.dtype), t,
-                                 ctx, mask, clean_x=clean_aug,
-                                 aug_t=aug_t)
+        flow = fps_forward_train(cparams, cfg, noisy.astype(cdtype), t,
+                                 ctx, mask,
+                                 clean_x=clean_aug.astype(cdtype),
+                                 aug_t=aug_t, remat_group=remat_group)
         err = jnp.mean((flow.astype(jnp.float32) - target) ** 2,
                        axis=(2, 3, 4))
         w = scheduler.training_weight(t).reshape(B, F)

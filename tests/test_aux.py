@@ -241,3 +241,24 @@ def test_host_offload_roundtrip():
     # stats helpers don't crash regardless of backend support
     hbm_bytes_in_use()
     free_hbm_gb()
+
+
+def test_metrics_logger(tmp_path):
+    """JSONL metrics logging (inventory row 55): per-step records +
+    config.json; wandb mirrored only when available (gated)."""
+    import json
+    from mmpl_tpu.utils.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path), "runA",
+                      config={"lr": 1e-5, "wandb_key": ""})
+    m.log(0, loss=1.25, step_s=0.5)
+    m.log(1, loss=1.0, note="warmup")
+    recs = m.read()
+    assert [r["step"] for r in recs] == [0, 1]
+    assert recs[0]["loss"] == 1.25 and recs[1]["note"] == "warmup"
+    cfgf = json.load(open(tmp_path / "runA" / "config.json"))
+    assert cfgf["lr"] == 1e-5
+    # append-safe across logger instances (resume)
+    m2 = MetricsLogger(str(tmp_path), "runA")
+    m2.log(2, loss=0.5)
+    assert len(m2.read()) == 3

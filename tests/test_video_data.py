@@ -165,3 +165,36 @@ def test_train_from_raw_videos(video_dir, tmp_path):
                      "--steps", "1", "--num-frames", "3",
                      "--data-dir", shards, "--ckpt-every", "0"])
     assert rc == 0
+
+
+def test_native_fastproc_matches_pil(video_dir):
+    """The native C preproc (data/_fastproc.c) must agree with the PIL
+    path within filter tolerance, both orientations + upscale."""
+    from mmpl_tpu.data import fastproc
+    if not fastproc.available():
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(0)
+    # smooth content so the (box vs triangle) filter difference is small
+    base = np.kron(rng.standard_normal((12, 15)), np.ones((8, 8)))
+    img = np.clip(base * 25 + 128, 0, 255).astype(np.uint8)
+    frames = np.stack([np.stack([img] * 3, -1)] * 3)
+
+    from PIL import Image
+    from mmpl_tpu.data.video_dataset import (_to_chw_norm,
+                                             scale_crop_resize)
+    for th, tw in ((48, 64), (64, 40), (192, 240)):
+        out = fastproc.scale_crop_normalize_clip(frames, th, tw)
+        assert out.shape == (3, 3, th, tw) and out.dtype == np.float32
+        ref = _to_chw_norm(scale_crop_resize(
+            Image.fromarray(frames[0]), th, tw))
+        assert np.abs(out[0] - ref).mean() < 0.05, (th, tw)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+    # the dataset runs end-to-end on the native path
+    ds = TextVideoDataset(video_dir, os.path.join(video_dir, "meta.csv"),
+                          max_num_frames=NUM_PIX_FRAMES,
+                          num_frames=NUM_PIX_FRAMES, height=H, width=W,
+                          use_native=True)
+    item = ds[0]
+    assert item["video"].shape == (NUM_PIX_FRAMES, 3, H, W)
+    assert np.isfinite(item["video"]).all()

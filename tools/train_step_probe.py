@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--layers", type=int, default=None,
                     help="override depth (default: full 30)")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat-group", type=int, default=1)
     ap.add_argument("--check-layers", type=int, default=0,
                     help="also diff kernel vs dense grads at this depth")
     args = ap.parse_args()
@@ -48,9 +49,15 @@ def main():
     fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS)
     loss_fn = make_teacher_forcing_loss_fn(cfg, sch, fm,
                                            num_frame_per_block=3,
-                                           noise_aug_max_timestep=100)
+                                           noise_aug_max_timestep=100,
+                                           remat_group=args.remat_group)
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    # the Wan head is zero-initialised (reference behavior), which blocks
+    # all upstream gradients at exact init — randomise it like the tests do
+    params["head"]["head"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(99), params["head"]["head"]["kernel"].shape,
+        jnp.float32).astype(jnp.bfloat16)
     batch = {
         "latents": jax.random.normal(jax.random.PRNGKey(1),
                                      (1, 21, 16, 60, 104), jnp.bfloat16),
@@ -60,27 +67,41 @@ def main():
         "uncond_context": jnp.zeros((1, cfg.text_len, cfg.text_dim),
                                     jnp.bfloat16),
     }
-    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # a REAL train step (sgd update, params donated): grads reuse the
+    # params buffers, saving one full param copy of HBM vs value_and_grad
+    def train_step(params, batch, rng):
+        (loss), grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        gsum = jax.tree.reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float32)),
+            grads, jnp.zeros((), jnp.float32))
+        g0 = jnp.sum(jnp.abs(
+            grads["patch_embedding"]["kernel"]).astype(jnp.float32))
+        new_params = jax.tree.map(
+            lambda p, g: (p - 1e-6 * g.astype(jnp.float32)).astype(p.dtype),
+            params, grads)
+        return new_params, loss, gsum, g0
+
+    step = jax.jit(train_step, donate_argnums=(0,))
 
     t0 = time.perf_counter()
-    loss, grads = step(params, batch, jax.random.PRNGKey(3))
-    gsum = float(jax.tree.reduce(
-        lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float32)), grads,
-        jnp.zeros((), jnp.float32)))
+    params, loss, gsum, g0 = step(params, batch, jax.random.PRNGKey(3))
+    gsum = float(gsum)
     compile_s = time.perf_counter() - t0
     log(f"step0 (compile+run): {compile_s:.1f}s loss={float(loss):.5f} "
-        f"grad|sum|={gsum:.3e}")
+        f"grad|sum|={gsum:.3e} patch_grad={float(g0):.3e}")
     assert np.isfinite(float(loss)) and np.isfinite(gsum) and gsum > 0
 
     times = []
     for i in range(args.steps):
         t0 = time.perf_counter()
-        loss, grads = step(params, batch, jax.random.PRNGKey(4 + i))
-        g0 = float(jnp.sum(jnp.abs(
-            grads["patch_embedding"]["kernel"]).astype(jnp.float32)))
+        params, loss, gsum, g0 = step(params, batch,
+                                      jax.random.PRNGKey(4 + i))
+        g0 = float(g0)
         dt = time.perf_counter() - t0
         times.append(dt)
         log(f"step{i + 1}: {dt:.3f}s loss={float(loss):.5f} g0={g0:.3e}")
+        assert g0 > 0
     log(f"steady train step: {float(np.median(times)):.3f}s "
         f"(42x1560 tokens, {cfg.num_layers} layers, remat, "
         f"frame-masked Pallas fwd+bwd)")

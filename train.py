@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--log-dir", default="runs",
+                   help="JSONL metrics directory (utils/metrics.py)")
+    p.add_argument("--run-name", default=None)
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--export-pt", default=None,
                    help="also export generator to the reference .pt format")
@@ -65,6 +68,8 @@ def main(argv=None):
 
     key = set_seed(args.seed)
     params = dit.init_dit_params(key, cfg, jnp.float32)
+    from mmpl_tpu.utils.metrics import MetricsLogger
+    metrics = MetricsLogger(args.log_dir, args.run_name, config=vars(args))
 
     if args.objective in ("teacher_forcing", "flow"):
         loss_fn = None
@@ -114,8 +119,10 @@ def main(argv=None):
             t0 = time.time()
             loss = trainer.train_step(next_batch(step), sub)
             ema.update(trainer.params)
+            dt = time.time() - t0
+            metrics.log(step, loss=float(loss), step_s=dt)
             print(f"step {step}: loss={float(loss):.5f} "
-                  f"({time.time()-t0:.2f}s)", file=sys.stderr, flush=True)
+                  f"({dt:.2f}s)", file=sys.stderr, flush=True)
             if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
                 from mmpl_tpu.utils.train_state_io import save_checkpoint
                 save_checkpoint(os.path.join(args.ckpt_dir, f"step{step+1}"),
@@ -210,11 +217,15 @@ def main(argv=None):
         new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
         models.update(new_c)
         line = f"step {step}: critic={float(closs):.5f}"
+        scalars = {"critic_loss": float(closs)}
         if (step + 1) % args.dfake_gen_update_ratio == 0:
             models["generator"], opt_g, gloss = gen_step(models, opt_g,
                                                          batch, k3)
             line += f" gen={float(gloss):.5f}"
-        print(line + f" ({time.time()-t0:.2f}s)", file=sys.stderr,
+            scalars["gen_loss"] = float(gloss)
+        scalars["step_s"] = time.time() - t0
+        metrics.log(step, **scalars)
+        print(line + f" ({scalars['step_s']:.2f}s)", file=sys.stderr,
               flush=True)
     return 0
 
