@@ -418,7 +418,10 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
     from ..parallel.chunk_pipeline import ChunkParallelPipeline
     from ..utils.video_io import write_video
 
+    # tunneled-TPU watchdog workaround (see pipelines/fps_inference)
+    os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
     is_i2v = config.service_type == "parallel_i2v"
+    gen_lock = threading.Lock()
     pipe = ChunkParallelPipeline(
         cfg, params, vae_params, devices=devices,
         plan=i2v_plan() if is_i2v else None)
@@ -426,6 +429,9 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
 
     def backend(prompt: str, num_chunks: int, seed: int,
                 image=None) -> List[str]:
+      # one generation at a time: concurrent request threads share the
+      # pipeline replicas (mirrors the reference's per-GPU serialisation)
+      with gen_lock:
         cond = text_encoder([prompt])["prompt_embeds"]
         uncond = text_encoder([neg])["prompt_embeds"]
         rng = jax.random.PRNGKey(seed)
