@@ -262,3 +262,45 @@ def test_metrics_logger(tmp_path):
     m2 = MetricsLogger(str(tmp_path), "runA")
     m2.log(2, loss=0.5)
     assert len(m2.read()) == 3
+
+
+def test_ode_trajectory_generation(tmp_path):
+    """ODE dataset producer (data/ode_gen.py): teacher rollout recorded at
+    the distillation timesteps, shard round-trip, entry-0 == noise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmpl_tpu.core.config import tiny_test_config
+    from mmpl_tpu.data.ode_gen import (ODERegressionNpzDataset,
+                                       record_trajectories,
+                                       write_ode_shard)
+    from mmpl_tpu.models import dit
+    from helpers import randomize_head
+
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    B, F = 2, 3
+    noise = jax.random.normal(jax.random.PRNGKey(1), (B, F, 16, 4, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2),
+                             (B, cfg.text_len, cfg.text_dim))
+    uncond = jnp.zeros_like(cond)
+
+    traj = record_trajectories(cfg, params, noise, cond, uncond,
+                               denoising_step_list=(1000, 500),
+                               sampling_steps=6, dtype=jnp.float32)
+    assert traj.shape == (B, 3, F, 16, 4, 4)
+    assert np.isfinite(traj).all()
+    # entry 0 is the solver input nearest t=1000 == the initial noise
+    np.testing.assert_allclose(traj[:, 0], np.asarray(noise), atol=1e-6)
+    # the trajectory actually denoises (states change step to step)
+    assert np.abs(traj[:, 1] - traj[:, 0]).max() > 1e-4
+    assert np.abs(traj[:, 2] - traj[:, 1]).max() > 1e-4
+
+    p = write_ode_shard(str(tmp_path / "ode_00000.npz"), traj,
+                        ["a", "b"])
+    ds = ODERegressionNpzDataset(str(tmp_path))
+    assert len(ds) == 2
+    item = ds[1]
+    assert item["prompts"] == "b"
+    np.testing.assert_allclose(item["ode_latent"], traj[1], atol=2e-3)
