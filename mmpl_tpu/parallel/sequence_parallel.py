@@ -19,19 +19,18 @@ text2video.py:160-162).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.dit import (Params, cross_attention, embed_text, layer_norm,
                           linear, mlp, patchify, precompute_context_kv,
                           qkv_project, time_embed, unpatchify)
 from ..ops.attention import attention
-from ..ops.rope import apply_rope, window_rope_table
+from ..ops.rope import window_rope_table
 
 
 def ring_attention(q, k, v, axis_name: str, impl: str = "dense"):
@@ -50,7 +49,6 @@ def ring_attention(q, k, v, axis_name: str, impl: str = "dense"):
     """
     from ..ops.attention import dense_attention_lse, flash_attention_lse
     ring = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % ring) for i in range(ring)]
     chunk_fn = flash_attention_lse if impl == "flash" else dense_attention_lse
 
@@ -70,7 +68,6 @@ def ring_attention(q, k, v, axis_name: str, impl: str = "dense"):
         out = (out.astype(jnp.float32) * wq
                + o_c.astype(jnp.float32) * wc).astype(out.dtype)
         lse = m + jnp.log(tot)
-    del idx
     return out
 
 
@@ -130,8 +127,6 @@ def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
     ctx_kv = precompute_context_kv(params, cfg, ctx)
     cos_np, sin_np = window_rope_table(F, grid[0], grid[1], d)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
-
-    chunk = L // sp
 
     def local_forward(x_loc, e, e0, cos_loc, sin_loc, blocks, ctx_kv,
                       head_p):
