@@ -17,7 +17,7 @@ clean latent, and write shards the trainer consumes
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

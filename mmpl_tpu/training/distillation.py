@@ -14,7 +14,7 @@ All losses take (models, batch, rng) and return (loss, log_dict).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,18 +15,17 @@ indices, so no per-layer outputs are materialised.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..models.dit import (Params, block_forward, cross_attention,
-                          embed_text, init_linear, layer_norm, linear,
-                          mlp, patchify, precompute_context_kv, qkv_project,
-                          rms_norm, time_embed)
+from ..models.dit import (Params, block_forward, embed_text,
+                          init_linear, layer_norm, linear, mlp, patchify,
+                          precompute_context_kv, qkv_project, rms_norm,
+                          time_embed)
 from ..ops.attention import attention
-from ..ops.rope import apply_rope, window_rope_table
+from ..ops.rope import window_rope_table
 
 GAN_TAP_LAYERS = (13, 21, 29)   # model.py:750
 

@@ -18,7 +18,6 @@ of the flow predictions.
 """
 
 import argparse
-import os
 import sys
 
 import numpy as np
