@@ -710,8 +710,19 @@ class _MaskedMeta:
 
     def __eq__(self, other):
         import numpy as np
+        # real equality, not hash-equality: a hash collision between two
+        # different masks must not silently reuse the wrong compiled kernel
         return (isinstance(other, _MaskedMeta)
-                and hash(self) == hash(other))
+                and (self.Fp, self.scale, self.block_q, self.block_k,
+                     self.interpret, self.Lq, self.Lk)
+                == (other.Fp, other.scale, other.block_q, other.block_k,
+                    other.interpret, other.Lq, other.Lk)
+                and self.qf.shape == other.qf.shape
+                and self.kf.shape == other.kf.shape
+                and np.array_equal(self.qf, other.qf)
+                and np.array_equal(self.kf, other.kf)
+                and np.array_equal(self.fm_p, other.fm_p)
+                and np.array_equal(self.adm, other.adm))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

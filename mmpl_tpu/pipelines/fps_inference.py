@@ -54,6 +54,7 @@ class CausalFPSInferencePipeline:
                  sample_solver: str = "unipc",
                  mesh=None, shard_params: bool = True,
                  fuse_qkv: bool = True,
+                 quantize: Optional[str] = None,
                  dtype=jnp.bfloat16):
         """mesh: optional jax.sharding.Mesh with (dp, fsdp, tp) axes.  When
         given, params are placed with (fsdp, tp) NamedShardings (unless
@@ -68,6 +69,13 @@ class CausalFPSInferencePipeline:
             from ..models.dit import fuse_qkv_params
             # one [D,3D] gemm per layer + split-half rope layout
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
+        if quantize is not None:
+            if quantize != "int8":
+                raise NotImplementedError(f"quantize={quantize!r}")
+            # int8 W8A8 projection gemms (ops/quant.py) — the TPU-native
+            # analogue of the reference's TensorRT INT8 engines
+            from ..models.dit import quantize_params as _quant
+            params = _quant(params)
         if mesh is not None and shard_params:
             from ..parallel.mesh import shard_params_for_inference
             params = shard_params_for_inference(params, mesh)
@@ -153,27 +161,47 @@ class CausalFPSInferencePipeline:
     # per-group programs
     # ------------------------------------------------------------------
 
+    def _apply_reseed(self, schedule: GroupSchedule, latents, reseed_src,
+                      rng):
+        """Re-noise the group's re-seeded positions from source latents.
+
+        Generalises the reference's two hard-coded boundary re-seeds
+        (casual_fps_inference.py:283-318) to the group's full static
+        `schedule.reseed` tuple: entry i of `reseed_src` [B, R, C, H, W]
+        is written at position `schedule.reseed[i][0]` after fresh-noise
+        blending at `ddpm_timestep`.
+        """
+        R = len(schedule.reseed)
+        assert reseed_src.shape[1] == R, (
+            f"group expects {R} reseed sources (positions "
+            f"{[p for p, _ in schedule.reseed]}), got "
+            f"{reseed_src.shape[1]}")
+        B = latents.shape[0]
+        ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
+        keys = jax.random.split(rng, R)
+        for i, (pos, _src_frame) in enumerate(schedule.reseed):
+            n = jax.random.normal(keys[i], latents[:, pos:pos + 1].shape,
+                                  jnp.float32)
+            latents = latents.at[:, pos:pos + 1].set(
+                self.ddpm.add_noise(
+                    reseed_src[:, i:i + 1].astype(jnp.float32), n, ts))
+        return latents
+
     def _denoise_group(self, schedule: GroupSchedule, params, ctx_kv2,
-                       cache, noisy, reseed_first, reseed_last, rng):
+                       cache, noisy, reseed_src, rng):
         """Jit-compiled: full 50-step denoise + clean commit of one group.
 
         noisy: [B, G, C, H, W]; ctx_kv2 covers the stacked [cond; uncond]
-        batch (2B).  reseed_first/last: [B, 1, C, H, W] source latents or
-        zeros (gated by static schedule.reseed).
+        batch (2B).  reseed_src: [B, R, C, H, W] source latents (R =
+        len(schedule.reseed)), or a [B, 1, ...] zeros placeholder when the
+        group has no reseeds (gated by static schedule.reseed).
         """
         B = noisy.shape[0]
         G = schedule.num_frames
         latents = noisy.astype(jnp.float32)
 
         if schedule.reseed:
-            k1, k2 = jax.random.split(rng)
-            ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
-            n1 = jax.random.normal(k1, latents[:, 0:1].shape, jnp.float32)
-            n2 = jax.random.normal(k2, latents[:, -1:].shape, jnp.float32)
-            latents = latents.at[:, 0:1].set(
-                self.ddpm.add_noise(reseed_first.astype(jnp.float32), n1, ts))
-            latents = latents.at[:, -1:].set(
-                self.ddpm.add_noise(reseed_last.astype(jnp.float32), n2, ts))
+            latents = self._apply_reseed(schedule, latents, reseed_src, rng)
 
         state = self.sampler.init_state(latents)
 
@@ -215,21 +243,11 @@ class CausalFPSInferencePipeline:
     # -- segmented execution (bounded per-program runtime) ---------------
 
     def _init_group_state(self, schedule: GroupSchedule, noisy,
-                          reseed_first, reseed_last, rng):
+                          reseed_src, rng):
         """Reseed + solver-state init, jitted separately for segmenting."""
         latents = noisy.astype(jnp.float32)
         if schedule.reseed:
-            B = noisy.shape[0]
-            k1, k2 = jax.random.split(rng)
-            ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
-            n1 = jax.random.normal(k1, latents[:, 0:1].shape, jnp.float32)
-            n2 = jax.random.normal(k2, latents[:, -1:].shape, jnp.float32)
-            latents = latents.at[:, 0:1].set(
-                self.ddpm.add_noise(reseed_first.astype(jnp.float32), n1,
-                                    ts))
-            latents = latents.at[:, -1:].set(
-                self.ddpm.add_noise(reseed_last.astype(jnp.float32), n2,
-                                    ts))
+            latents = self._apply_reseed(schedule, latents, reseed_src, rng)
         return self.sampler.init_state(latents)
 
     def _denoise_segment(self, schedule: GroupSchedule, params, ctx_kv2,
@@ -257,8 +275,8 @@ class CausalFPSInferencePipeline:
         state, _ = jax.lax.scan(body, state, (coefs, ts))
         return state
 
-    def _run_group_segmented(self, gi: int, ctx_kv2, cache, noisy, rf, rl,
-                             rng):
+    def _run_group_segmented(self, gi: int, ctx_kv2, cache, noisy,
+                             reseed_src, rng):
         """Dispatch one group as ceil(steps / steps_per_program) programs
         plus the commit — each bounded in runtime (this image's tunneled
         TPU worker kills executions running longer than ~70 s, which the
@@ -271,7 +289,7 @@ class CausalFPSInferencePipeline:
                 self._init_group_state, group))
             self._group_fns[f"seg{gi}"] = jax.jit(functools.partial(
                 self._denoise_segment, group), donate_argnums=(3,))
-        state = self._group_fns[f"init{gi}"](noisy, rf, rl, rng)
+        state = self._group_fns[f"init{gi}"](noisy, reseed_src, rng)
         table = self.sampler.table
         ts = self.sampler.timesteps
         n = int(ts.shape[0])
@@ -408,18 +426,18 @@ class CausalFPSInferencePipeline:
 
             rng, sub = jax.random.split(rng)
             if group.reseed:
-                (p0, s0), (p1, s1) = group.reseed
-                rf, rl = frame_latent(s0), frame_latent(s1)
+                rs = jnp.concatenate(
+                    [frame_latent(s) for _pos, s in group.reseed], axis=1)
             else:
-                rf = rl = zeros1
+                rs = zeros1
             if self.steps_per_program > 0:
                 latents, cache = self._run_group_segmented(
                     gi, ctx_kv2, cache, noise[:, list(group.frames)],
-                    rf, rl, sub)
+                    rs, sub)
             else:
                 latents, cache = self._get_group_fn(gi)(
                     self.params, ctx_kv2, cache,
-                    noise[:, list(group.frames)], rf, rl, sub)
+                    noise[:, list(group.frames)], rs, sub)
             if self.block_per_group:
                 jax.block_until_ready(latents)
             group_out[gi] = latents

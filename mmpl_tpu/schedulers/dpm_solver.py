@@ -33,6 +33,15 @@ def get_sampling_sigmas(sampling_steps: int, shift: float) -> np.ndarray:
 
 
 def _lambda(sigma: float) -> float:
+    """Guarded log-SNR.  The schedule endpoints (sigma == 1 at the first
+    warped sigma, sigma == 0 at the appended final one) have well-defined
+    infinite limits that the update rules handle (h -> inf => expm1(-h)
+    -> -1; 1/r0 -> 0) — return them explicitly rather than tripping
+    log(0) RuntimeWarnings."""
+    if sigma >= 1.0:
+        return -np.inf
+    if sigma <= 0.0:
+        return np.inf
     return np.log(1.0 - sigma) - np.log(sigma)
 
 

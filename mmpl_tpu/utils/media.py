@@ -47,13 +47,24 @@ def resize_and_center_crop(image: np.ndarray, height: int,
     return arr[top:top + height, left:left + width]
 
 
+def fetch_url_bytes(url: str, timeout: float = 30.0) -> bytes:
+    """Fetch raw bytes from an http(s) URL (the i2v server's image-by-URL
+    ingestion, fastapi_parallel_i2v_server.py:294-345).  Split out so tests
+    and offline deployments can monkeypatch the network hop."""
+    import urllib.request
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        return resp.read()
+
+
 def load_image(source: str, height: Optional[int] = None,
                width: Optional[int] = None) -> np.ndarray:
-    """Load an image from a file path or base64 string -> [3, H, W] float32
-    in [-1, 1] (the i2v input convention)."""
+    """Load an image from a file path, http(s) URL, or base64 string ->
+    [3, H, W] float32 in [-1, 1] (the i2v input convention)."""
     from PIL import Image
-    if source.startswith("data:") or (len(source) > 512
-                                      and "/" not in source[:256]):
+    if source.startswith(("http://", "https://")):
+        img = Image.open(io.BytesIO(fetch_url_bytes(source)))
+    elif source.startswith("data:") or (len(source) > 512
+                                        and "/" not in source[:256]):
         raw = source.split(",", 1)[-1]
         img = Image.open(io.BytesIO(base64.b64decode(raw)))
     else:

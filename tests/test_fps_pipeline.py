@@ -199,3 +199,126 @@ def test_fps_pipeline_dpm_solver():
     out = pipe.inference(noise, cond, uncond)
     assert out.shape == (1, 21, 16, 4, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_arbitrary_reseed_plans():
+    """The reseed path handles any (count, position) static reseed list,
+    not just the canonical 2-pair (pos 0 / last) layout (VERDICT r2 #6)."""
+    from mmpl_tpu.core.geometry import _build_plan, T2V_CLEAN_STEPS
+    plan = _build_plan(
+        "t2v-custom-reseed", T2V_CLEAN_STEPS, anchor_group=1,
+        handoff_frames=(0, 2, 3, 10, 11, 12, 19, 20),
+        vis_toggles={2: ("remove", (19, 20)), 3: ("add", (19, 20))},
+        # group 2: ONE reseed; group 3: THREE, incl. an interior position
+        reseeds={2: ((0, 3),), 3: ((0, 12), (2, 11), (5, 19))},
+    )
+    pipe, cfg = _make_pipeline(plan=plan)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (1, 21, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+    out = pipe.inference(noise, cond, uncond, rng=jax.random.PRNGKey(9))
+    assert out.shape == (1, 21, 16, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_causal_pipeline_profile_report(capfd):
+    """profile=True emits the reference's per-phase report format
+    (causal_inference.py:237-271) with init / per-block / total lines."""
+    from mmpl_tpu.pipelines.causal_inference import CausalInferencePipeline
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    pipe = CausalInferencePipeline(cfg, params,
+                                   denoising_step_list=(1000, 500),
+                                   num_frame_per_block=3,
+                                   dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 4, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2),
+                             (1, cfg.text_len, cfg.text_dim))
+    out = pipe.inference(noise, cond, profile=True)
+    assert np.isfinite(np.asarray(out)).all()
+    err = capfd.readouterr().err
+    assert "Profiling results:" in err
+    assert "Initialization/caching time:" in err
+    assert "Diffusion generation time:" in err
+    assert "Block 0 generation time:" in err
+    assert "Block 1 generation time:" in err
+    assert "Total time:" in err
+    # timer retained for the caller to append the VAE phase (cli.py)
+    assert pipe.last_profile is not None
+    assert len(pipe.last_profile.blocks) == 2
+
+
+def test_causal_diffusion_invariant_cache_bit_identity(monkeypatch):
+    """r2 memory fixes ported (VERDICT r3 item 2): the loop-invariant-cache
+    solver scan and the segmented execution path are both bit-identical to
+    an explicit cache-carry scan (the pre-fix implementation)."""
+    import functools
+    from mmpl_tpu.models.fps_dit import fps_forward_group, init_kv_cache
+    from mmpl_tpu.pipelines.causal_diffusion_inference import \
+        CausalDiffusionInferencePipeline
+    from mmpl_tpu.pipelines.causal_inference import block_schedule
+    from mmpl_tpu.schedulers.unipc import FlowUniPC
+
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+
+    pipe = CausalDiffusionInferencePipeline(cfg, params, sampling_steps=4,
+                                            num_frame_per_block=3,
+                                            dtype=jnp.float32)
+    out_new = np.asarray(pipe.inference(noise, cond, uncond))
+
+    # segmented execution (2 steps/program) must be bit-identical
+    monkeypatch.setenv("MMPL_STEPS_PER_PROGRAM", "2")
+    pipe_seg = CausalDiffusionInferencePipeline(
+        cfg, params, sampling_steps=4, num_frame_per_block=3,
+        dtype=jnp.float32)
+    assert pipe_seg.steps_per_program == 2
+    out_seg = np.asarray(pipe_seg.inference(noise, cond, uncond))
+    np.testing.assert_array_equal(out_new, out_seg)
+
+    # reference: the old cache-as-scan-carry implementation, inline
+    sampler = FlowUniPC(4, shift=8.0)
+    g_scale = 5.0
+
+    def denoise_block_carry(schedule, params, ctx_kv2, cache, noisy):
+        B, G = noisy.shape[0], schedule.num_frames
+        state = sampler.init_state(noisy.astype(jnp.float32))
+
+        def body(carry, step_in):
+            cache, state = carry
+            coef, t = step_in
+            lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            tt = jnp.broadcast_to(t, (2 * B, G))
+            flow2, cache = fps_forward_group(
+                params, cfg, lat2, tt, ctx_kv2, cache, schedule)
+            c, u = flow2[:B], flow2[B:]
+            flow = u + g_scale * (c - u)
+            return (cache, FlowUniPC.step(coef, state, flow)), None
+
+        (cache, state), _ = jax.lax.scan(
+            body, (cache, state), (sampler.table, sampler.timesteps))
+        final = state["sample"]
+        lat2 = jnp.concatenate([final, final], 0)
+        tt = jnp.zeros((2 * B, G), jnp.float32)
+        _, cache = fps_forward_group(params, cfg, lat2, tt, ctx_kv2,
+                                     cache, schedule)
+        return final, cache
+
+    from mmpl_tpu.models.dit import (embed_text, precompute_context_kv,
+                                     fuse_qkv_params)
+    fused = fuse_qkv_params(params, num_heads=cfg.num_heads)
+    ctx = jnp.concatenate([cond, uncond], 0)
+    emb = embed_text(fused, ctx)
+    ctx_kv2 = precompute_context_kv(fused, cfg, emb)
+    cache = init_kv_cache(cfg, 2, 4, num_slots=21, dtype=jnp.float32)
+    outs = []
+    for s in (0, 3):
+        sched = block_schedule(s, 3, 21)
+        fn = jax.jit(functools.partial(denoise_block_carry, sched))
+        x, cache = fn(fused, ctx_kv2, cache, noise[:, s:s + 3])
+        outs.append(x)
+    out_carry = np.asarray(jnp.concatenate(outs, axis=1))
+    np.testing.assert_array_equal(out_new, out_carry)
