@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-latents", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="per-phase timing report (init / per-block "
+                        "diffusion / VAE), reference causal_inference.py"
+                        ":237-271 format; few-step pipeline only")
     return p.parse_args(argv)
 
 
@@ -168,7 +172,8 @@ def main(argv=None):
             nb = int(run_cfg.get("num_frame_per_block", 3))
             F_new = ((21 - n_init) // nb) * nb
             latents = pipe.inference(noise[:, :F_new], cond,
-                                     initial_latent=initial_latent, rng=ki)
+                                     initial_latent=initial_latent, rng=ki,
+                                     profile=args.profile)
         else:
             latents = pipe.inference(noise, cond, uncond,
                                      initial_latent=initial_latent, rng=ki)
@@ -182,6 +187,10 @@ def main(argv=None):
             vae_params, latents.astype(jnp.float32)))
         print(f"window {win}: vae decode {time.time()-t0:.1f}s",
               file=sys.stderr)
+        if args.profile and getattr(pipe, "last_profile", None):
+            # complete the reference-format report with the VAE phase
+            pipe.last_profile.phases["VAE decoding"] = time.time() - t0
+            pipe.last_profile.report()
         video01 = np.clip(video * 0.5 + 0.5, 0, 1)
         if win > 0:
             # trim the bridged overlap: (2-1)*4+1 = 5 pixel frames

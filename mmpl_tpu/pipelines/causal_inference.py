@@ -16,7 +16,9 @@ reference's per-step Python loop and `.item()` index bookkeeping disappear.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import time
 from typing import List, Optional, Sequence
 
 import jax
@@ -26,6 +28,7 @@ from ..core.geometry import GroupSchedule
 from ..models.dit import embed_text, precompute_context_kv
 from ..models.fps_dit import fps_forward_group, init_kv_cache
 from ..schedulers.flow_match import FlowMatchScheduler
+from ..utils.profiling import PhaseTimer, _sync
 
 
 def block_schedule(start_frame: int, num_frames: int,
@@ -56,6 +59,7 @@ class CausalInferencePipeline:
                  sink_frames: int = 0,
                  warp_denoising_step: bool = False,
                  fuse_qkv: bool = True,
+                 quantize: Optional[str] = None,
                  dtype=jnp.bfloat16):
         """max_attention_frames: enables the ROLLING KV cache — a fixed
         `max_attention_frames`-slot buffer in recency order with the first
@@ -71,6 +75,11 @@ class CausalInferencePipeline:
         if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
+        if quantize is not None:
+            if quantize != "int8":
+                raise NotImplementedError(f"quantize={quantize!r}")
+            from ..models.dit import quantize_params as _quant
+            params = _quant(params)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise
@@ -227,26 +236,40 @@ class CausalInferencePipeline:
     def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
                   initial_latent: Optional[jnp.ndarray] = None,
                   rng: Optional[jax.Array] = None,
-                  return_latents: bool = True) -> jnp.ndarray:
+                  return_latents: bool = True,
+                  profile: bool = False) -> jnp.ndarray:
         """noise [B, F, C, H, W] -> denoised latents [B, F_in + F, C, H, W].
 
         Unlike the CFG pipeline there is no negative branch (the distilled
         model needs none, causal_inference.py:186-221).
+
+        profile=True reproduces the reference's per-phase report
+        (causal_inference.py:237-271): init/caching, per-block diffusion,
+        total — printed at the end and kept on `self.last_profile` so the
+        caller can add a "VAE decoding" phase before re-reporting (decode
+        is a separate stage in this design).
         """
+        timer = PhaseTimer() if profile else None
+        self.last_profile = timer
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         B, F, C, H, W = noise.shape
         nb = self.num_frame_per_block
         n_init = 0 if initial_latent is None else initial_latent.shape[1]
 
-        emb = embed_text(self.params, cond_context.astype(self.dtype))
-        ctx_kv = precompute_context_kv(self.params, self.cfg, emb)
-        total = n_init + F
-        cap = self.max_attention_frames
-        num_slots = cap if cap is not None else max(total,
-                                                    self.local_attn_frames)
-        cache = init_kv_cache(self.cfg, B, H * W // 4,
-                              num_slots=num_slots, dtype=self.dtype)
+        with (timer.phase("Initialization/caching") if timer
+              else contextlib.nullcontext()):
+            emb = embed_text(self.params, cond_context.astype(self.dtype))
+            ctx_kv = precompute_context_kv(self.params, self.cfg, emb)
+            total = n_init + F
+            cap = self.max_attention_frames
+            num_slots = cap if cap is not None else max(
+                total, self.local_attn_frames)
+            cache = init_kv_cache(self.cfg, B, H * W // 4,
+                                  num_slots=num_slots, dtype=self.dtype)
+            if timer:
+                _sync(ctx_kv)
         outputs = []
+        t_diff0 = time.perf_counter()
 
         start = 0
         # commit context blocks (causal_inference.py:137-172)
@@ -276,6 +299,7 @@ class CausalInferencePipeline:
         sizes += [nb] * (rem // nb)
         consumed = 0
         for g in sizes:
+            t_blk0 = time.perf_counter()
             rng, sub = jax.random.split(rng)
             noisy = noise[:, consumed:consumed + g]
             if cap is not None and start + g > cap:
@@ -292,8 +316,17 @@ class CausalInferencePipeline:
                 fn = self._get(self._block_fns, self._denoise_block, start,
                                g)
                 x, cache = fn(self.params, ctx_kv, cache, noisy, sub)
+            if timer:
+                _sync(x)
+                timer.record_block(time.perf_counter() - t_blk0)
             outputs.append(x)
             consumed += g
             start += g
 
-        return jnp.concatenate(outputs, axis=1)
+        out = jnp.concatenate(outputs, axis=1)
+        if timer:
+            _sync(out)
+            timer.phases["Diffusion generation"] = (
+                time.perf_counter() - t_diff0)
+            timer.report()
+        return out

@@ -47,7 +47,8 @@ class PhaseTimer:
     def record_block(self, seconds: float) -> None:
         self.blocks.append(seconds)
 
-    def report(self, file=sys.stderr) -> str:
+    def report(self, file=None) -> str:
+        file = file if file is not None else sys.stderr  # resolve at call
         total = sum(self.phases.values())
         lines = ["Profiling results:"]
         for name, t in self.phases.items():
