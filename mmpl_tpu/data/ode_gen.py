@@ -80,14 +80,21 @@ def record_trajectories(cfg, params, noise, cond_ctx, uncond_ctx,
 
 
 def write_ode_shard(path: str, trajectories: np.ndarray,
-                    prompts: Sequence[str]) -> str:
+                    prompts: Sequence[str],
+                    prompt_embeds: np.ndarray = None) -> str:
     """One npz shard: `ode_latent` [N, S+1, F, C, H, W] (fp16, matching
-    the reference LMDB's dtype) + `prompts`."""
+    the reference LMDB's dtype) + `prompts` (+ optional precomputed
+    `prompt_embeds` [N, L, D] so `train.py --objective ode` needs no text
+    encoder at train time)."""
     assert trajectories.shape[0] == len(prompts), (
         trajectories.shape, len(prompts))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    extra = {}
+    if prompt_embeds is not None:
+        assert prompt_embeds.shape[0] == trajectories.shape[0]
+        extra["prompt_embeds"] = prompt_embeds.astype(np.float16)
     np.savez(path, ode_latent=trajectories.astype(np.float16),
-             prompts=np.asarray(list(prompts), dtype=object))
+             prompts=np.asarray(list(prompts), dtype=object), **extra)
     return path
 
 
@@ -116,5 +123,8 @@ class ODERegressionNpzDataset:
             self._cache.clear()
             self._cache[path] = dict(np.load(path, allow_pickle=True))
         z = self._cache[path]
-        return {"ode_latent": z["ode_latent"][i].astype(np.float32),
+        item = {"ode_latent": z["ode_latent"][i].astype(np.float32),
                 "prompts": str(z["prompts"][i])}
+        if "prompt_embeds" in z:
+            item["prompt_embeds"] = z["prompt_embeds"][i].astype(np.float32)
+        return item

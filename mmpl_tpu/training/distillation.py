@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.dit import dit_forward
 from ..schedulers.flow_match import FlowMatchScheduler
@@ -300,6 +301,29 @@ class Distiller:
         return loss, log
 
 
+def prepare_ode_generator_input(ode_latent, denoising_step_list, rng,
+                                num_frame_per_block: int = 3):
+    """The `_prepare_generator_input` analogue (ode_regression.py:57-99):
+    pick a random step index PER BLOCK (uniform_timestep=False), gather the
+    solver state at that index for each frame, and return the per-frame
+    timesteps from the step list.
+
+    ode_latent: [B, S+1, F, C, H, W] (entry j = solver input at step j,
+    entry S = clean endpoint).  Returns (noisy_input [B,F,C,H,W],
+    timestep [B,F]).
+    """
+    B, S1, F = ode_latent.shape[:3]
+    S = len(denoising_step_list)
+    nb = num_frame_per_block
+    assert F % nb == 0, (F, nb)
+    idx = jnp.repeat(jax.random.randint(rng, (B, F // nb), 0, S),
+                     nb, axis=1)                               # [B, F]
+    onehot = jax.nn.one_hot(idx, S1, dtype=ode_latent.dtype)   # [B, F, S+1]
+    noisy = jnp.einsum("bfs,bsfchw->bfchw", onehot, ode_latent)
+    t = jnp.asarray(denoising_step_list, jnp.float32)[idx]
+    return noisy, t
+
+
 def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
                         batch, rng, dtype=jnp.float32):
     """model/ode_regression.py:9-138: regress the causal generator onto
@@ -337,4 +361,13 @@ def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
             generator_params, cfg, clean.astype(dtype),
             jnp.zeros_like(tt), batch["ctx_kv"], cache, sched)
     pred = jnp.concatenate(preds, axis=1)
-    return jnp.mean((pred - target) ** 2), {"pred": pred}
+    # frames whose sampled timestep is 0 are excluded (the reference's
+    # `mask = timestep != 0`, ode_regression.py:125-128); for step lists
+    # without 0 this is the plain mean
+    mask = (t != 0.0).astype(jnp.float32)[..., None, None, None]
+    se = (pred - target) ** 2 * mask
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * float(np.prod(pred.shape[2:]))
+    loss = jnp.sum(se) / denom
+    unnorm = jnp.mean((pred - target) ** 2, axis=(1, 2, 3, 4))
+    return loss, {"pred": pred, "unnormalized_loss": unnorm,
+                  "timestep": jnp.mean(t, axis=1)}

@@ -355,3 +355,90 @@ def test_self_forcing_early_exit_is_faster(tf_setup):
     t_lo, t_hi = timed(f_lo), timed(f_hi)
     # theoretical forward ratio: (0+2)/(5+2) per block; require a safe gap
     assert t_hi > 1.3 * t_lo, (t_lo, t_hi)
+
+
+def test_ode_regression_objective_trains(tf_setup):
+    """ODE regression (model/ode_regression.py): loss is finite and
+    decreases on a fixed synthetic trajectory batch."""
+    import optax
+    from mmpl_tpu.training.distillation import (ode_regression_loss,
+                                                prepare_ode_generator_input)
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    step_list = (1000, 750, 500, 250)
+    ode_latent = jax.random.normal(jax.random.PRNGKey(5),
+                                   (1, len(step_list) + 1, 6, 16, 4, 4))
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+
+    noisy, t = prepare_ode_generator_input(ode_latent, step_list,
+                                           jax.random.PRNGKey(6))
+    assert noisy.shape == (1, 6, 16, 4, 4) and t.shape == (1, 6)
+    # per-block uniform: each 3-frame block shares one timestep
+    tn = np.asarray(t)
+    assert (tn[:, :3] == tn[:, :1]).all() and (tn[:, 3:] == tn[:, 3:4]).all()
+    assert set(np.unique(tn)) <= set(float(s) for s in step_list)
+
+    batch = {"noisy_input": noisy, "clean_latent": ode_latent[:, -1],
+             "timestep": t, "ctx_kv": ctx_kv}
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        (loss, _), g = jax.value_and_grad(
+            lambda p: ode_regression_loss(p, cfg, sch, batch,
+                                          jax.random.PRNGKey(7)),
+            has_aux=True)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_ode_loss_masks_zero_timesteps(tf_setup):
+    """Frames with t == 0 are excluded (ode_regression.py:125-128)."""
+    from mmpl_tpu.training.distillation import ode_regression_loss
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    k = jax.random.PRNGKey(3)
+    noisy = jax.random.normal(k, (1, 6, 16, 4, 4))
+    clean = jax.random.normal(jax.random.fold_in(k, 1), (1, 6, 16, 4, 4))
+    t_a = jnp.full((1, 6), 500.0)
+    batch = {"noisy_input": noisy, "clean_latent": clean,
+             "timestep": t_a, "ctx_kv": ctx_kv}
+    loss_a, aux = ode_regression_loss(params, cfg, sch, batch,
+                                      jax.random.PRNGKey(4))
+    # zero out the second block's timesteps: its (pred-target) errors must
+    # drop out of the loss; manual masked mean over aux["pred"] agrees
+    t_b = t_a.at[:, 3:].set(0.0)
+    loss_b, aux_b = ode_regression_loss(
+        params, cfg, sch, {**batch, "timestep": t_b},
+        jax.random.PRNGKey(4))
+    pred = np.asarray(aux_b["pred"])
+    manual = np.mean((pred[:, :3] - np.asarray(clean)[:, :3]) ** 2)
+    np.testing.assert_allclose(float(loss_b), manual, rtol=1e-5)
+
+
+def test_train_cli_ode_and_causvid_smoke():
+    """train.py --objective ode|causvid run end-to-end (synthetic data)."""
+    import importlib, sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    assert train.main(["--objective", "ode", "--steps", "2", "--smoke",
+                       "--num-frames", "6",
+                       "--log-dir", "/tmp/test_runs_ode"]) == 0
+    assert train.main(["--objective", "causvid", "--steps", "2", "--smoke",
+                       "--num-frames", "6", "--dfake-gen-update-ratio", "2",
+                       "--fake-guidance-scale", "0.5",
+                       "--log-dir", "/tmp/test_runs_cv"]) == 0

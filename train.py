@@ -25,7 +25,8 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--objective", default="teacher_forcing",
-                   choices=["teacher_forcing", "flow", "dmd", "sid", "gan"])
+                   choices=["teacher_forcing", "flow", "dmd", "sid", "gan",
+                            "causvid", "ode"])
     p.add_argument("--data-dir", default=None,
                    help="TensorDictDataset shard dir (precomputed latents)")
     p.add_argument("--smoke", action="store_true",
@@ -38,6 +39,11 @@ def parse_args(argv=None):
     p.add_argument("--num-frames", type=int, default=21)
     p.add_argument("--noise-aug-max", type=int, default=100)
     p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
+    p.add_argument("--fake-guidance-scale", type=float, default=0.0,
+                   help="CFG on the fake score (the CausVid knob, "
+                        "causvid.py:30-45)")
+    p.add_argument("--denoising-step-list", default="1000,750,500,250",
+                   help="ODE regression step list (configs/*.yaml)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="runs",
@@ -46,6 +52,12 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--export-pt", default=None,
                    help="also export generator to the reference .pt format")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed; the launch_distributed_job "
+                        "analogue, utils/distributed.py:75-89)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -53,6 +65,12 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
+    from mmpl_tpu.parallel.mesh import init_distributed
+    if init_distributed(args.coordinator, args.num_processes,
+                        args.process_id):
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              file=sys.stderr)
     from mmpl_tpu.core.config import T2V_1_3B, tiny_test_config
     from mmpl_tpu.core.geometry import T2V_CLEAN_STEPS
     from mmpl_tpu.models import dit
@@ -137,21 +155,92 @@ def main(argv=None):
             print(f"exported {args.export_pt}", file=sys.stderr)
         return 0
 
-    # distillation (dmd / sid / gan): generator + fake_score (+ gan head,
-    # + frozen real_score for dmd/sid)
     import optax
     from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
-    from mmpl_tpu.training.distillation import (DistillationConfig,
-                                                Distiller)
-    from mmpl_tpu.training.self_forcing import SelfForcingRollout
 
     sch = FlowMatchScheduler(shift=args.timestep_shift, sigma_min=0.0,
                              extra_one_step=True)
     sch.set_timesteps(1000, training=True)
+
+    if args.objective == "ode":
+        # ODE regression (model/ode_regression.py:9-138): regress the
+        # causal generator onto precomputed teacher trajectories
+        from mmpl_tpu.training.distillation import (
+            ode_regression_loss, prepare_ode_generator_input)
+        step_list = tuple(
+            int(s) for s in args.denoising_step_list.split(","))
+        tx = optax.adamw(args.lr)
+        opt = tx.init(params)
+
+        if args.data_dir:
+            from mmpl_tpu.data.datasets import batch_iterator
+            from mmpl_tpu.data.ode_gen import ODERegressionNpzDataset
+            it = batch_iterator(ODERegressionNpzDataset(args.data_dir),
+                                args.batch_size, seed=args.seed)
+
+            def next_ode(step):
+                b = next(it)
+                if "prompt_embeds" not in b:
+                    raise SystemExit(
+                        "ODE shards lack prompt_embeds — regenerate with "
+                        "write_ode_shard(..., prompt_embeds=...) or run "
+                        "data_process to encode prompts offline")
+                return (jnp.asarray(b["ode_latent"]),
+                        jnp.asarray(b["prompt_embeds"]))
+        else:
+            S1 = len(step_list) + 1
+
+            def next_ode(step):
+                k = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
+                k1, k2 = jax.random.split(k)
+                return (jax.random.normal(
+                            k1, (args.batch_size, S1, F, 16, *lat_hw)),
+                        jax.random.normal(
+                            k2, (args.batch_size, cfg.text_len,
+                                 cfg.text_dim)))
+
+        @jax.jit
+        def ode_step(params, opt, ode_latent, ctx, rng):
+            emb = dit.embed_text(params, ctx)
+            ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+            r1, r2 = jax.random.split(rng)
+            noisy, t = prepare_ode_generator_input(ode_latent, step_list,
+                                                   r1)
+            batch = {"noisy_input": noisy,
+                     "clean_latent": ode_latent[:, -1],
+                     "timestep": t, "ctx_kv": ctx_kv}
+
+            def lf(p):
+                return ode_regression_loss(p, cfg, sch, batch, r2)
+            (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, loss
+
+        rng = jax.random.PRNGKey(args.seed + 1)
+        for step in range(args.steps):
+            rng, sub = jax.random.split(rng)
+            ode_latent, ctx = next_ode(step)
+            t0 = time.time()
+            params, opt, loss = ode_step(params, opt, ode_latent, ctx, sub)
+            dt = time.time() - t0
+            metrics.log(step, loss=float(loss), step_s=dt)
+            print(f"step {step}: loss={float(loss):.5f} ({dt:.2f}s)",
+                  file=sys.stderr, flush=True)
+        if args.export_pt:
+            from mmpl_tpu.utils.train_state_io import export_generator_pt
+            export_generator_pt(args.export_pt, params, params, cfg)
+        return 0
+
+    # distillation (dmd / sid / causvid / gan): generator + fake_score
+    # (+ gan head, + frozen real_score for dmd/sid/causvid)
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F)
     dist = Distiller(cfg, DistillationConfig(
-        timestep_shift=args.timestep_shift), ro, sch)
+        timestep_shift=args.timestep_shift,
+        fake_guidance_scale=args.fake_guidance_scale), ro, sch)
     models = {
         "generator": params,
         "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
