@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--timestep-shift", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="videos/parallel_fps")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator host:port "
+                        "(jax.distributed init; see parallel/mesh.py)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
     if not 1 <= args.num_chunks <= 12:
         print("error: --num-chunks must be in [1, 12] "
@@ -40,6 +45,12 @@ def main(argv=None):
         return 2
 
     import jax
+    from mmpl_tpu.parallel.mesh import init_distributed
+    if init_distributed(args.coordinator, args.num_processes,
+                        args.process_id):
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              file=sys.stderr)
     import jax.numpy as jnp
     from mmpl_tpu.core.config import WAN_CONFIGS, tiny_test_config
     from mmpl_tpu.models import dit, vae

@@ -19,6 +19,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host entry — the `launch_distributed_job` analogue
+    (`MMPL_t2v/utils/distributed.py:75-89`, NCCL tcp:// rendezvous).
+
+    Initialises `jax.distributed` so `jax.devices()` spans every host of
+    the pod/slice and `make_mesh()` builds a global mesh (GSPMD then
+    routes collectives over ICI within a slice / DCN across slices).
+    Arguments fall back to the conventional env vars
+    (`COORDINATOR_ADDRESS`, `NUM_PROCESSES`, `PROCESS_ID` — the
+    RANK/WORLD_SIZE/MASTER_ADDR equivalents); on Cloud TPU all three can
+    be auto-detected, so setting any one opts in.  With nothing
+    configured this is a single-process no-op.  Returns True iff
+    distributed mode was initialised.  Call before any other JAX use.
+    """
+    import os
+    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+    if coordinator is None and num_processes is None and process_id is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(shape: Optional[Dict[str, int]] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a mesh; default folds all devices into axes (dp, fsdp, tp).
@@ -62,13 +92,13 @@ def _dit_param_spec(path: Tuple, leaf) -> P:
     is_block = "blocks" in names
     ndim = leaf.ndim
 
-    if "kernel" in names and ndim >= 2:
+    if ("kernel" in names or "kernel_q" in names) and ndim >= 2:
         tp_ok = any(k in names for k in ("q", "k", "v", "qkv", "fc1", "gate"))
         if is_block and ndim == 3:
             return P(None, "fsdp", "tp" if tp_ok else None)
         if ndim == 2:
             return P("fsdp", "tp" if tp_ok else None)
-    if "bias" in names and ndim >= 1:
+    if ("bias" in names or "scale" in names) and ndim >= 1:
         tp_ok = any(k in names for k in ("q", "k", "v", "qkv", "fc1", "gate"))
         if is_block and ndim == 2:
             return P(None, "tp" if tp_ok else None)

@@ -140,3 +140,34 @@ def test_usp_ulysses_plus_ring_forward():
     got = np.asarray(usp_dit_forward(params, cfg, lat, t, ctx, mesh,
                                      sp_axis="sp", ring_axis="ring"))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_init_distributed_flag_path(monkeypatch):
+    """Multi-host surface (utils/distributed.py:75-89 analogue): no-op
+    single-process by default; flags/env vars reach
+    jax.distributed.initialize."""
+    import jax
+    from mmpl_tpu.parallel.mesh import init_distributed
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("PROCESS_ID", raising=False)
+    assert init_distributed() is False        # single-process no-op
+
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.update(coordinator_address=coordinator_address,
+                     num_processes=num_processes, process_id=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert init_distributed("host:1234", 8, 3) is True
+    assert calls == {"coordinator_address": "host:1234",
+                     "num_processes": 8, "process_id": 3}
+    calls.clear()
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "envhost:99")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "1")
+    assert init_distributed() is True
+    assert calls == {"coordinator_address": "envhost:99",
+                     "num_processes": 2, "process_id": 1}
