@@ -35,7 +35,13 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"].astype(x.dtype)
+    if "kernel_q" in p:
+        # int8 W8A8 path (ops/quant.py): weights quantized at load by
+        # `quantize_params`, activations per-token inside the program
+        from ..ops.quant import w8a8_matmul
+        y = w8a8_matmul(x, p["kernel_q"], p["scale"])
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -274,6 +280,36 @@ def fuse_qkv_params(params: Params, num_heads: Optional[int] = None
     fused_sa["norm_k"] = {"weight": pq(sa["norm_k"]["weight"])}
     blocks = dict(params["blocks"])
     blocks["self_attn"] = fused_sa
+    return {**params, "blocks": blocks}
+
+
+def quantize_params(params: Params,
+                    targets: Tuple[str, ...] = ("self_attn.qkv",
+                                                "self_attn.o",
+                                                "cross_attn.q",
+                                                "cross_attn.o",
+                                                "ffn.fc1", "ffn.fc2")
+                    ) -> Params:
+    """int8-quantize the block projection gemms (W8A8, ops/quant.py).
+
+    Done once at load, after `fuse_qkv_params`.  Only the big per-token
+    gemms quantize; attention itself, QK norms, AdaLN, the head and all
+    embeddings stay bf16 — the reference's INT8 TensorRT engine draws the
+    same line (vae_torch2trt.py:139's calibrated engine wraps matmul-heavy
+    graphs, not the numerics-sensitive tails).  Cross-attn k/v stay
+    unquantized: they run once per window in `precompute_context_kv`, not
+    per step.  `linear` dispatches on the "kernel_q" key, so quantized and
+    raw pytrees run through the same model code.
+    """
+    from ..ops.quant import quantize_linear_params
+    blocks = dict(params["blocks"])
+    for tgt in targets:
+        mod, name = tgt.split(".")
+        sub = dict(blocks[mod])
+        if name not in sub:          # e.g. qkv when not fused
+            continue
+        sub[name] = quantize_linear_params(sub[name])
+        blocks[mod] = sub
     return {**params, "blocks": blocks}
 
 

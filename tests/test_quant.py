@@ -1,0 +1,130 @@
+"""int8 W8A8 quantized inference path (ops/quant.py + dit.quantize_params).
+
+The TPU analogue of the reference's TensorRT INT8 engines
+(demo_utils/vae_torch2trt.py:139).  Numerics bounds here are the
+synthetic-weight acceptance tests VERDICT r3 item 1 asks for; quality
+sign-off on real Wan checkpoints is documented in PERF.md (blocked on
+weights not present in this image).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmpl_tpu.core.config import tiny_test_config
+from mmpl_tpu.models import dit
+from mmpl_tpu.ops.quant import (quantize_linear_params, quantize_weight,
+                                w8a8_matmul)
+from helpers import randomize_head
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 128), jnp.float32)
+    wq, scale = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (128,)
+    deq = wq.astype(jnp.float32) * scale
+    # max error is half a quantization step per channel
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= 0.5 * np.asarray(scale)[None, :] + 1e-7).all()
+
+
+def test_quantize_weight_stacked_layers():
+    """Stacked [L, K, N] block leaves quantize with per-layer scales that
+    match quantizing each layer separately."""
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 64, 32), jnp.float32)
+    wq, scale = quantize_weight(w)
+    assert wq.shape == (3, 64, 32) and scale.shape == (3, 32)
+    for i in range(3):
+        wqi, si = quantize_weight(w[i])
+        np.testing.assert_array_equal(np.asarray(wq[i]), np.asarray(wqi))
+        np.testing.assert_allclose(np.asarray(scale[i]), np.asarray(si))
+
+
+def test_w8a8_matmul_accuracy():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (4, 512, 256), jnp.float32)
+    w = jax.random.normal(k2, (256, 384), jnp.float32)
+    wq, scale = quantize_weight(w)
+    got = np.asarray(w8a8_matmul(x, wq, scale))
+    ref = np.asarray(x) @ np.asarray(w)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel                       # ~1% typical for W8A8
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.999, cos
+
+
+def test_linear_dispatches_on_kernel_q():
+    p = {"kernel": jax.random.normal(jax.random.PRNGKey(3), (64, 32)),
+         "bias": jax.random.normal(jax.random.PRNGKey(4), (32,))}
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 64))
+    ref = np.asarray(dit.linear(p, x))
+    got = np.asarray(dit.linear(quantize_linear_params(p), x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+
+
+def _quant_setup():
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    fused = dit.fuse_qkv_params(params, num_heads=cfg.num_heads)
+    return cfg, fused, dit.quantize_params(fused)
+
+
+def test_quantize_params_structure():
+    cfg, fused, qp = _quant_setup()
+    sa, ffn, ca = (qp["blocks"][k] for k in ("self_attn", "ffn",
+                                             "cross_attn"))
+    for leaf in (sa["qkv"], sa["o"], ffn["fc1"], ffn["fc2"], ca["q"],
+                 ca["o"]):
+        assert "kernel_q" in leaf and leaf["kernel_q"].dtype == jnp.int8
+        assert "kernel" not in leaf
+    # context k/v, norms, head, embeddings stay untouched
+    assert "kernel" in ca["k"] and "kernel" in ca["v"]
+    assert "kernel" in qp["head"]["head"]
+    np.testing.assert_array_equal(
+        np.asarray(qp["blocks"]["modulation"]),
+        np.asarray(fused["blocks"]["modulation"]))
+
+
+def test_quantized_forward_close_to_fp32():
+    """Full DiT forward: quantized vs fp32 output stays close (the
+    per-layer/end-to-end numerics bound on synthetic weights)."""
+    cfg, fused, qp = _quant_setup()
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 16, 4, 4))
+    t = jnp.full((1, 3), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(7),
+                            (1, cfg.text_len, cfg.text_dim))
+    ref = np.asarray(dit.dit_forward(fused, cfg, x, t, ctx))
+    got = np.asarray(dit.dit_forward(qp, cfg, x, t, ctx))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.995, cos
+
+
+def test_quantized_fps_pipeline_end_to_end():
+    """quantize="int8" through the public FPS pipeline: the denoised
+    window stays close to the fp32 pipeline's."""
+    from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    mk = lambda q: CausalFPSInferencePipeline(
+        cfg, params, sampling_steps=4, guidance_scale=5.0,
+        quantize=q, dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 21, 16, 4, 4))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    cond = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+    uncond = jax.random.normal(k2, (1, cfg.text_len, cfg.text_dim))
+    rng = jax.random.PRNGKey(7)
+    ref = np.asarray(mk(None).inference(noise, cond, uncond, rng=rng))
+    got = np.asarray(mk("int8").inference(noise, cond, uncond, rng=rng))
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert rel < 0.25, rel           # 4-step CFG solver amplifies ~2%/gemm
+    assert cos > 0.97, cos
