@@ -172,10 +172,9 @@ class CausalFPSInferencePipeline:
         blending at `ddpm_timestep`.
         """
         R = len(schedule.reseed)
-        assert reseed_src.shape[1] == R, (
+        assert len(reseed_src) == R, (
             f"group expects {R} reseed sources (positions "
-            f"{[p for p, _ in schedule.reseed]}), got "
-            f"{reseed_src.shape[1]}")
+            f"{[p for p, _ in schedule.reseed]}), got {len(reseed_src)}")
         B = latents.shape[0]
         ts = jnp.full((B,), self.ddpm_timestep, jnp.float32)
         keys = jax.random.split(rng, R)
@@ -184,7 +183,7 @@ class CausalFPSInferencePipeline:
                                   jnp.float32)
             latents = latents.at[:, pos:pos + 1].set(
                 self.ddpm.add_noise(
-                    reseed_src[:, i:i + 1].astype(jnp.float32), n, ts))
+                    reseed_src[i].astype(jnp.float32), n, ts))
         return latents
 
     def _denoise_group(self, schedule: GroupSchedule, params, ctx_kv2,
@@ -192,9 +191,12 @@ class CausalFPSInferencePipeline:
         """Jit-compiled: full 50-step denoise + clean commit of one group.
 
         noisy: [B, G, C, H, W]; ctx_kv2 covers the stacked [cond; uncond]
-        batch (2B).  reseed_src: [B, R, C, H, W] source latents (R =
-        len(schedule.reseed)), or a [B, 1, ...] zeros placeholder when the
-        group has no reseeds (gated by static schedule.reseed).
+        batch (2B).  reseed_src: TUPLE of R [B, 1, C, H, W] source latents
+        (R = len(schedule.reseed)) — kept as separate pytree leaves so the
+        driver passes lazy output slices without an eager concat (an eager
+        op between groups stalls chunk-pipeline dispatch) — or a 1-tuple
+        zeros placeholder when the group has no reseeds (gated by static
+        schedule.reseed).
         """
         B = noisy.shape[0]
         G = schedule.num_frames
@@ -426,10 +428,9 @@ class CausalFPSInferencePipeline:
 
             rng, sub = jax.random.split(rng)
             if group.reseed:
-                rs = jnp.concatenate(
-                    [frame_latent(s) for _pos, s in group.reseed], axis=1)
+                rs = tuple(frame_latent(s) for _pos, s in group.reseed)
             else:
-                rs = zeros1
+                rs = (zeros1,)
             if self.steps_per_program > 0:
                 latents, cache = self._run_group_segmented(
                     gi, ctx_kv2, cache, noise[:, list(group.frames)],

@@ -51,14 +51,13 @@ def _feed(y, D):
     column — a plain slice lets XLA compute only a [T, D] slab of the
     gemm (the first probe version reported impossible >peak numbers)."""
     T, N = y.shape
-    if N % D == 0:
-        return y.reshape(T, N // D, D).sum(axis=1)
-    if D % N == 0:
-        return jnp.tile(y, (1, D // N))
-    # ragged (e.g. 8960 -> 1536): tile then fold the excess back in
-    reps = -(-D // N)
-    t = jnp.tile(y, (1, reps))
-    return t[:, :D] + jnp.pad(t[:, D:], ((0, 0), (0, 2 * D - reps * N)))
+    if N >= D:
+        pad = (-N) % D
+        t = jnp.pad(y, ((0, 0), (0, pad))) if pad else y
+        return t.reshape(T, -1, D).sum(axis=1)
+    # N < D: tile — every source column appears in a full copy, so none
+    # of the gemm is sliceable away
+    return jnp.tile(y, (1, -(-D // N)))[:, :D]
 
 
 def probe(B, L, D, N, iters=30):
