@@ -469,14 +469,31 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
     block_q = max(block_q, 128)
     block_k = max(block_k, 128)
     q, k, v, o_p, lse = res           # o_p/lse are padded [B,N,Lqp(,D)]
-    B, Lq, N, D = q.shape
-    Lk = k.shape[1]
+    D = q.shape[-1]
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
 
     do = jnp.swapaxes(g, 1, 2)                       # [B,N,Lq,D]
     do_p, _ = _pad_lnd(do, block_q)
     delta = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32),
                     axis=-1, keepdims=True)               # [B,N,Lqp,1]
+    return _flash_bwd_impl(q, k, v, do_p, lse, delta, sc, block_q, block_k,
+                           interpret)
+
+
+def _flash_bwd_impl(q, k, v, do_p, lse_p, delta_p, sc, block_q, block_k,
+                    interpret):
+    """Pallas flash backward with externally-supplied (padded) lse/delta.
+
+    Shared by the plain VJP and the ring VJP — the ring backward feeds the
+    GLOBAL logsumexp/delta to each rotating KV chunk (each chunk's
+    contribution to the full-softmax gradient uses p = exp(s - lse_global),
+    delta = rowsum(do * out_global)).
+
+    q [B,Lq,N,D]; k/v [B,Lk,N,D]; do_p/lse_p/delta_p padded [B,N,Lqp,*].
+    Returns (dq [B,Lq,N,D], dk, dv [B,Lk,N,D]).
+    """
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
 
     qt, _ = _pad_lnd(jnp.swapaxes(q, 1, 2), block_q)
     kt, _ = _pad_lnd(jnp.swapaxes(k, 1, 2), block_k)
@@ -505,7 +522,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
         scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
                         pltpu.VMEM((block_k, D), jnp.float32)],
         interpret=interpret,
-    )(qt, kt, vt, do_p, lse, delta)
+    )(qt, kt, vt, do_p, lse_p, delta_p)
 
     gridq = (B, N, Lqp // block_q, Lkp // block_k)
     dq = pl.pallas_call(
@@ -526,7 +543,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((B, N, Lqp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(qt, kt, vt, do_p, lse, delta)
+    )(qt, kt, vt, do_p, lse_p, delta_p)
 
     dq = jnp.swapaxes(dq[:, :, :Lq], 1, 2)
     dk = jnp.swapaxes(dk[:, :, :Lk], 1, 2)
@@ -535,6 +552,103 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
 
 
 flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable RING flash attention (custom VJP at the ring level)
+# ---------------------------------------------------------------------------
+#
+# The ring's online-softmax merge makes per-chunk lse a live intermediate,
+# so instead of differentiating through the merge, the VJP is defined over
+# the WHOLE ring (the xFuser fused-long-context-attention role,
+# xdit_context_parallel.py:179-184): forward is the rotating flash-lse
+# merge; backward re-rotates the KV chunks and runs the plain flash
+# backward kernels per chunk with the GLOBAL logsumexp and delta — each
+# chunk's contribution to the full-softmax gradient is exactly
+# p = exp(s - lse_global), delta = rowsum(do * out_global).  dk/dv
+# accumulators travel around the ring with their chunk and arrive home
+# after `ring` permutes.
+
+def _ring_flash_fwd_impl(q, k, v, axis_name, scale, block_q, block_k,
+                         interpret):
+    ring = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+    out, lse = flash_attention_lse(q, k, v, scale, block_q, block_k,
+                                   interpret)
+    kr, vr = k, v
+    for _ in range(ring - 1):
+        kr = jax.lax.ppermute(kr, axis_name, perm)
+        vr = jax.lax.ppermute(vr, axis_name, perm)
+        o_c, lse_c = flash_attention_lse(q, kr, vr, scale, block_q,
+                                         block_k, interpret)
+        m = jnp.maximum(lse, lse_c)
+        w, w_c = jnp.exp(lse - m), jnp.exp(lse_c - m)
+        tot = w + w_c
+        wq = jnp.swapaxes(w / tot, 1, 2)[..., None]
+        wc = jnp.swapaxes(w_c / tot, 1, 2)[..., None]
+        out = (out.astype(jnp.float32) * wq
+               + o_c.astype(jnp.float32) * wc).astype(out.dtype)
+        lse = m + jnp.log(tot)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def ring_flash_attention(q, k, v, axis_name, scale=None, block_q=512,
+                         block_k=2048, interpret=False):
+    """Differentiable Pallas ring attention.  Call inside a `shard_map`
+    with q/k/v [B, L/ring, N, D] local shards; `axis_name` is the ring
+    mesh axis.  Head dim must be lane-aligned (128) on TPU."""
+    out, _ = _ring_flash_fwd_impl(q, k, v, axis_name, scale, block_q,
+                                  block_k, interpret)
+    return out
+
+
+def _ring_flash_vjp_fwd(q, k, v, axis_name, scale, block_q, block_k,
+                        interpret):
+    out, lse = _ring_flash_fwd_impl(q, k, v, axis_name, scale, block_q,
+                                    block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_flash_vjp_bwd(axis_name, scale, block_q, block_k, interpret,
+                        res, g):
+    q, k, v, out, lse = res
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+    bq = min(max(block_q, 128), max(128, 1 << (Lq - 1).bit_length()))
+    bk = min(max(block_k, 128), max(128, 1 << (Lk - 1).bit_length()))
+    ring = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+
+    do_p, _ = _pad_lnd(jnp.swapaxes(g, 1, 2), bq)          # [B,N,Lqp,D]
+    o_p, _ = _pad_lnd(jnp.swapaxes(out, 1, 2), bq)
+    # global delta; padded query rows have do == 0 so every padded
+    # contribution (delta, ds, dk, dv) vanishes and dq pad rows slice off
+    delta_p = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32),
+                      axis=-1, keepdims=True)              # [B,N,Lqp,1]
+    Lqp = do_p.shape[2]
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, Lqp - Lq)))[..., None]
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    kr, vr = k, v
+    for _ in range(ring):
+        dq_c, dk_c, dv_c = _flash_bwd_impl(q, kr, vr, do_p, lse_p, delta_p,
+                                           sc, bq, bk, interpret)
+        dq = dq + dq_c.astype(jnp.float32)
+        dk = dk + dk_c.astype(jnp.float32)
+        dv = dv + dv_c.astype(jnp.float32)
+        if ring > 1:
+            kr = jax.lax.ppermute(kr, axis_name, perm)
+            vr = jax.lax.ppermute(vr, axis_name, perm)
+            dk = jax.lax.ppermute(dk, axis_name, perm)
+            dv = jax.lax.ppermute(dv, axis_name, perm)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_flash_attention.defvjp(_ring_flash_vjp_fwd, _ring_flash_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -44,13 +44,19 @@ def ring_attention(q, k, v, axis_name: str, impl: str = "dense"):
     num_heads; attention here is unmasked (the bidirectional teacher path),
     making KV chunk order irrelevant.
 
-    impl: "dense" (differentiable, default) or "flash" (Pallas fwd-only —
-    inference fast path on TPU).
+    impl: "dense" (pure jnp, differentiable — the small-shape / non-128
+    head-dim fallback) or "flash" (Pallas, ALSO differentiable: the ring
+    has its own custom VJP — see ops.attention.ring_flash_attention — so
+    big-teacher training runs the kernel fwd+bwd).
     """
-    from ..ops.attention import dense_attention_lse, flash_attention_lse
+    from ..ops.attention import dense_attention_lse, ring_flash_attention
+    if impl == "flash":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        return ring_flash_attention(q, k, v, axis_name,
+                                    interpret=not on_tpu)
     ring = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % ring) for i in range(ring)]
-    chunk_fn = flash_attention_lse if impl == "flash" else dense_attention_lse
+    chunk_fn = dense_attention_lse
 
     out, lse = chunk_fn(q, k, v)          # lse [B, N, Lq]
     kr, vr = k, v
@@ -175,6 +181,7 @@ def usp_dit_forward(params: Params, cfg, latents: jnp.ndarray,
         in_specs=(P(None, seq_axes, None), P(), P(), P(seq_axes),
                   P(seq_axes), P(), P(), P()),
         out_specs=P(None, seq_axes, None),
+        check_vma=False,     # pallas_call (ring flash) can't declare vma
     )
     out_tokens = sharded(x, e, e0, cos, sin, params["blocks"], ctx_kv,
                          params["head"])

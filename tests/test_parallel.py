@@ -171,3 +171,46 @@ def test_init_distributed_flag_path(monkeypatch):
     assert init_distributed() is True
     assert calls == {"coordinator_address": "envhost:99",
                      "num_processes": 2, "process_id": 1}
+
+
+def test_ring_flash_attention_fwd_and_grads_match_dense():
+    """Differentiable ring FLASH attention (VERDICT r3 item 4): the
+    ring-level custom VJP (global-lse per-chunk flash backward, dk/dv
+    accumulators riding the ring) matches the dense ring in both the
+    forward and all three input gradients.  Pallas runs in interpret mode
+    on the CPU mesh."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from mmpl_tpu.ops.attention import dense_attention
+    from mmpl_tpu.parallel.sequence_parallel import ring_attention
+
+    B, L, N, D = 1, 512, 2, 128          # lane-aligned head dim
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, L, N, D))
+    k = jax.random.normal(ks[1], (B, L, N, D))
+    v = jax.random.normal(ks[2], (B, L, N, D))
+    mesh = make_mesh({"ring": 4})
+    ring = shard_map(partial(ring_attention, axis_name="ring",
+                             impl="flash"), mesh=mesh,
+                     in_specs=(P(None, "ring"),) * 3,
+                     out_specs=P(None, "ring"),
+                     check_vma=False)     # pallas_call can't declare vma
+    got = np.asarray(ring(q, k, v))
+    want = np.asarray(dense_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring(q, k, v) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) ** 2)
+
+    g = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 1e-2, (name, rel)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-3,
+                                   err_msg=f"d{name}")
