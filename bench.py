@@ -138,14 +138,16 @@ def bench_group_proxy(cfg, plan, B, C, H, W, dtype, repeats):
     return group_times
 
 
-def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows):
+def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
+                        quantize=None):
     """Measured end-to-end windows through CausalFPSInferencePipeline."""
     from mmpl_tpu.models import dit
     from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
     pipe = CausalFPSInferencePipeline(cfg, params, plan=plan,
-                                      sampling_steps=steps, dtype=dtype)
+                                      sampling_steps=steps, dtype=dtype,
+                                      quantize=quantize)
     # the pipeline holds the fused copy; free the original (HBM headroom:
     # 1.3B B=1 runs ~22 GB peak against 15.75 GB with both copies alive)
     del params
@@ -244,6 +246,7 @@ def main():
             "value": round(frames_per_s, 4),
             "unit": "frames/s",
             "vs_baseline": round(vs, 4),
+            "14b_extrapolated": True,
             "extrapolated_from_layers": cfg.num_layers,
         }))
         return
@@ -253,6 +256,20 @@ def main():
                                             steps, n_windows)
     window_s_measured = float(np.median(window_times))
     p50_chunk = window_s_measured   # one window == one pipeline chunk
+
+    # --- int8 quantized window (VERDICT r3 item 1) -------------------------
+    # Same pipeline with int8 W8A8 projection gemms (ops/quant.py); the
+    # measured in-model step delta on v5e is ~-7% (tools/int8_model_probe).
+    int8_window_s = None
+    if (os.environ.get("BENCH_SKIP_INT8", "0") != "1" and not quick):
+        import gc
+        gc.collect()
+        _, int8_times = bench_real_pipeline(cfg, plan, B, C, H, W, dtype,
+                                            steps, 1, quantize="int8")
+        int8_window_s = float(np.median(int8_times))
+        log(f"int8 window: {int8_window_s:.1f}s "
+            f"({window_s_measured / int8_window_s - 1:+.1%} vs bf16)")
+        gc.collect()
 
     # --- streaming VAE decode ---------------------------------------------
     vae_decode_s = None
@@ -301,6 +318,10 @@ def main():
                                                                 2),
         "pixel_frames_per_sec_per_chip": round(px_per_s, 4),
         "achieved_tflops": round(achieved_tflops, 1),
+        "int8_window_s": None if int8_window_s is None
+        else round(int8_window_s, 2),
+        "int8_frames_per_s": None if int8_window_s is None
+        else round(plan.num_frames / int8_window_s, 4),
     }))
 
 

@@ -80,20 +80,24 @@ def probe(B, L, D, N, iters=30):
     dt = timeit(jax.jit(bf16_chain), x, w) / iters
     report("bf16", dt, PEAK_BF16)
 
-    # 2. pure int8 dot (quantisation outside the loop — MXU upper bound)
-    xq8 = jnp.clip(jnp.round(x.astype(jnp.float32)), -127, 127
-                   ).astype(jnp.int8)
+    # 2. int8 dot, bf16 output (act quant outside the loop body is not
+    # possible in a dependent chain, so quantise with a FIXED scale —
+    # round+clip only; the bf16 convert fuses into the conv output so the
+    # downstream consumption is byte-identical to the bf16 chain)
     wq8 = jnp.clip(jnp.round(w.astype(jnp.float32) * 64), -127, 127
                    ).astype(jnp.int8)
 
-    def int8_chain(xq, wq):
-        def body(xq, _):
+    def int8_chain(x, wq):
+        def body(x, _):
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32)), -127, 127
+                          ).astype(jnp.int8)
             y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return (_feed(y, D) % 127).astype(jnp.int8), None
-        return jax.lax.scan(body, xq, None, length=iters)[0]
-    dt = timeit(jax.jit(int8_chain), xq8, wq8) / iters
-    report("int8 dot (no quant)", dt, PEAK_INT8)
+            yb = (y.astype(jnp.float32) * 1e-4).astype(jnp.bfloat16)
+            return (_feed(yb, D) * 0.5 + x * 0.5).astype(jnp.bfloat16), None
+        return jax.lax.scan(body, x, None, length=iters)[0]
+    dt = timeit(jax.jit(int8_chain), x, wq8) / iters
+    report("int8 dot (fixed scale)", dt, PEAK_INT8)
 
     # 3. full W8A8 dynamic-quant matmul (the real inference op)
     wscale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
@@ -107,8 +111,9 @@ def probe(B, L, D, N, iters=30):
             xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
             acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
-            y = acc.astype(jnp.float32) * xs * wscale
-            return (_feed(y, D) * 0.5 + xf * 0.5).astype(jnp.bfloat16), None
+            y = (acc.astype(jnp.float32) * xs * wscale
+                 ).astype(jnp.bfloat16)
+            return (_feed(y, D) * 0.5 + x * 0.5).astype(jnp.bfloat16), None
         return jax.lax.scan(body, x, None, length=iters)[0]
     dt = timeit(jax.jit(w8a8_chain), x, wq, wscale) / iters
     report("W8A8 dynamic quant", dt, PEAK_INT8)
