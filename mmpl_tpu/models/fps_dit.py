@@ -165,6 +165,7 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
                       aug_t: Optional[jnp.ndarray] = None,
                       remat: bool = True,
                       remat_group: int = 1,
+                      remat_offload: bool = False,
                       use_flash_kernel: bool = True) -> jnp.ndarray:
     """Training forward with teacher forcing (no KV cache).
 
@@ -247,7 +248,30 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
                              lambda xm: self_attn(bp["self_attn"], xm), ckv,
                              num_seq_frames)
 
-    if remat:
+    if remat and remat_offload:
+        # full-depth single-chip training: the per-layer boundary
+        # activation ([B, 2F*S, D] — 201 MB/layer at the 42x1560 TF
+        # shape, ~6 GB for 30 layers) is the scan's saved residual that
+        # does not fit 16 GB HBM at full depth.  Tag it and offload to
+        # pinned host memory; everything else rematerialises as before.
+        # The role of the reference's layer-wise CPU offload
+        # (demo_utils/memory.py:13-59, FSDP cpu_offload
+        # utils/distributed.py:23-68), done the XLA way.
+        from jax.ad_checkpoint import checkpoint_name
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=(),
+            names_which_can_be_offloaded=("mmpl_layer_boundary",),
+            offload_src="device", offload_dst="pinned_host")
+
+        def block_apply(x, bp, ckv):
+            x = checkpoint_name(x, "mmpl_layer_boundary")
+            return block_forward(bp, cfg, x, e0,
+                                 lambda xm: self_attn(bp["self_attn"], xm),
+                                 ckv, num_seq_frames)
+
+        block_apply = jax.checkpoint(block_apply, prevent_cse=False,
+                                     policy=policy)
+    elif remat:
         # per-block rematerialisation (the reference's per-block
         # torch.utils.checkpoint, causal_fps_model.py:817-821)
         block_apply = jax.checkpoint(block_apply,

@@ -86,6 +86,7 @@ def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
                                  noise_aug_max_timestep: int = 0,
                                  cfg_dropout: float = 0.1,
                                  remat_group: int = 1,
+                                 remat_offload: bool = False,
                                  compute_dtype=None):
     """CausalDiffusion generator loss (model/diffusion.py:111-204).
 
@@ -148,7 +149,8 @@ def make_teacher_forcing_loss_fn(cfg, scheduler: FlowMatchScheduler,
         flow = fps_forward_train(cparams, cfg, noisy.astype(cdtype), t,
                                  ctx, mask,
                                  clean_x=clean_aug.astype(cdtype),
-                                 aug_t=aug_t, remat_group=remat_group)
+                                 aug_t=aug_t, remat_group=remat_group,
+                                 remat_offload=remat_offload)
         err = jnp.mean((flow.astype(jnp.float32) - target) ** 2,
                        axis=(2, 3, 4))
         w = scheduler.training_weight(t).reshape(B, F)

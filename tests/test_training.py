@@ -442,3 +442,29 @@ def test_train_cli_ode_and_causvid_smoke():
                        "--num-frames", "6", "--dfake-gen-update-ratio", "2",
                        "--fake-guidance-scale", "0.5",
                        "--log-dir", "/tmp/test_runs_cv"]) == 0
+
+
+def test_remat_offload_grads_match(tf_setup):
+    """remat_offload=True (per-layer boundary activations offloaded to
+    pinned host memory — the full-depth single-chip path) is a pure
+    memory-placement change: loss and grads match the plain remat path."""
+    from mmpl_tpu.training.diffusion import make_teacher_forcing_loss_fn
+    cfg, params, ctx = tf_setup
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS[:6])
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(5),
+                                     (1, 6, 16, 4, 4)),
+        "context": ctx, "uncond_context": jnp.zeros_like(ctx),
+    }
+    rng = jax.random.PRNGKey(6)
+    mk = lambda off: make_teacher_forcing_loss_fn(
+        cfg, sch, fm, num_frame_per_block=3, noise_aug_max_timestep=100,
+        remat_offload=off, compute_dtype=jnp.float32)
+    l_a, g_a = jax.jit(jax.value_and_grad(mk(False)))(params, batch, rng)
+    l_b, g_b = jax.jit(jax.value_and_grad(mk(True)))(params, batch, rng)
+    assert float(l_a) == float(l_b)
+    for pa, pb in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6, rtol=1e-5)

@@ -29,6 +29,11 @@ def main():
                     help="override depth (default: full 30)")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--remat-group", type=int, default=1)
+    ap.add_argument("--offload", action="store_true",
+                    help="offload per-layer boundary activations to "
+                         "pinned host memory (full-depth single-chip)")
+    ap.add_argument("--mem-only", action="store_true",
+                    help="compile + report memory analysis, don't run")
     ap.add_argument("--check-layers", type=int, default=0,
                     help="also diff kernel vs dense grads at this depth")
     args = ap.parse_args()
@@ -50,7 +55,8 @@ def main():
     loss_fn = make_teacher_forcing_loss_fn(cfg, sch, fm,
                                            num_frame_per_block=3,
                                            noise_aug_max_timestep=100,
-                                           remat_group=args.remat_group)
+                                           remat_group=args.remat_group,
+                                           remat_offload=args.offload)
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     # the Wan head is zero-initialised (reference behavior), which blocks
@@ -83,6 +89,19 @@ def main():
         return new_params, loss, gsum, g0
 
     step = jax.jit(train_step, donate_argnums=(0,))
+
+    if args.mem_only:
+        t0 = time.perf_counter()
+        compiled = step.lower(params, batch, jax.random.PRNGKey(3)).compile()
+        log(f"compiled in {time.perf_counter() - t0:.1f}s")
+        ma = compiled.memory_analysis()
+        gb = 2 ** 30
+        log(f"memory_analysis: args={ma.argument_size_in_bytes/gb:.2f}G "
+            f"out={ma.output_size_in_bytes/gb:.2f}G "
+            f"temp={ma.temp_size_in_bytes/gb:.2f}G "
+            f"total={(ma.argument_size_in_bytes + ma.output_size_in_bytes + ma.temp_size_in_bytes - ma.alias_size_in_bytes)/gb:.2f}G "
+            f"(host temp not separable; alias={ma.alias_size_in_bytes/gb:.2f}G)")
+        return
 
     t0 = time.perf_counter()
     params, loss, gsum, g0 = step(params, batch, jax.random.PRNGKey(3))
