@@ -19,6 +19,17 @@ with graceful gating: prompt expansion posts to an external HTTP service
 and falls back to the original prompt on any failure (:263-296); callbacks
 POST with 3 retries (:298-360); S3 upload is replaced by a local artifact
 directory unless an uploader is injected (boto3 absent here).
+
+Capacity model: one generation executes at a time per server process
+(`gen_lock` in `make_tpu_backend`) — accepted requests queue FIFO on the
+lock while their task status stays RUNNING, which is the single-replica
+truth: a request's chunks already occupy every pipeline stage device, so
+a second in-flight generation would only interleave on the same chips
+(the reference serializes identically per GPU group and models the queue
+with `need_wait`).  `num_chunks > num_stages` round-robins chunks onto
+stage devices — within ONE request this pipelines cleanly; scaling
+concurrent requests means one server process per device group behind an
+external balancer, not more threads here.
 """
 
 from __future__ import annotations
