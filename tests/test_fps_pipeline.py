@@ -322,3 +322,72 @@ def test_causal_diffusion_invariant_cache_bit_identity(monkeypatch):
         outs.append(x)
     out_carry = np.asarray(jnp.concatenate(outs, axis=1))
     np.testing.assert_array_equal(out_new, out_carry)
+
+
+def test_causal_diffusion_cache_not_double_buffered():
+    """Compiled-memory assertion (VERDICT r3 item 2): the loop-invariant
+    solver program must NOT carry a second cache buffer through the scan —
+    its temp footprint stays below the carry version's by about the cache
+    size."""
+    import functools
+    from mmpl_tpu.models.dit import (embed_text, fuse_qkv_params,
+                                     precompute_context_kv)
+    from mmpl_tpu.models.fps_dit import fps_forward_group, init_kv_cache
+    from mmpl_tpu.pipelines.causal_diffusion_inference import \
+        CausalDiffusionInferencePipeline
+    from mmpl_tpu.pipelines.causal_inference import block_schedule
+    from mmpl_tpu.schedulers.unipc import FlowUniPC
+
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    B, C, H, W = 1, 16, 16, 16
+    pipe = CausalDiffusionInferencePipeline(cfg, params, sampling_steps=8,
+                                            num_frame_per_block=3,
+                                            dtype=jnp.float32)
+    fused = pipe.params
+    cond, uncond = _ctx(cfg)
+    ctx = jnp.concatenate([cond, uncond], 0)
+    ctx_kv2 = precompute_context_kv(fused, cfg, embed_text(fused, ctx))
+    cache = init_kv_cache(cfg, 2 * B, H * W // 4, num_slots=21,
+                          dtype=jnp.float32)
+    cache_bytes = sum(v.size * v.dtype.itemsize for v in cache.values())
+    noisy = jax.random.normal(jax.random.PRNGKey(1), (B, 3, C, H, W))
+    sched = block_schedule(0, 3, 21)
+
+    inv = jax.jit(functools.partial(pipe._denoise_block, sched))
+    ma_inv = inv.lower(fused, ctx_kv2, cache, noisy).compile()\
+        .memory_analysis()
+
+    sampler = FlowUniPC(8, shift=8.0)
+
+    def carry_block(params, ctx_kv2, cache, noisy):
+        state = sampler.init_state(noisy.astype(jnp.float32))
+
+        def body(carry, step_in):
+            cache, state = carry
+            coef, t = step_in
+            lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
+            tt = jnp.broadcast_to(t, (2 * B, 3))
+            flow2, cache = fps_forward_group(params, cfg, lat2, tt,
+                                             ctx_kv2, cache, sched)
+            c, u = flow2[:B], flow2[B:]
+            return (cache, FlowUniPC.step(coef, state,
+                                          u + 5.0 * (c - u))), None
+
+        (cache, state), _ = jax.lax.scan(
+            body, (cache, state), (sampler.table, sampler.timesteps))
+        return state["sample"], cache
+
+    ma_car = jax.jit(carry_block).lower(fused, ctx_kv2, cache, noisy)\
+        .compile().memory_analysis()
+
+    # the invariant program must hold NO cache-sized temp at all (the
+    # cache lives only in its argument buffer) and never exceed the
+    # carry version.  (On CPU XLA aliases the carry in place, so the two
+    # are close; the TPU compile of the carry version double-buffered —
+    # that blowup is what the 1.3B pipeline OOM'd on pre-r2.)
+    assert ma_inv.temp_size_in_bytes < cache_bytes, (
+        ma_inv.temp_size_in_bytes, cache_bytes)
+    assert ma_inv.temp_size_in_bytes <= ma_car.temp_size_in_bytes, (
+        ma_inv.temp_size_in_bytes, ma_car.temp_size_in_bytes)
