@@ -34,6 +34,8 @@ import sys
 import time
 
 import jax
+from mmpl_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -45,6 +45,8 @@ def main(argv=None):
         return 2
 
     import jax
+    from mmpl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from mmpl_tpu.parallel.mesh import init_distributed
     if init_distributed(args.coordinator, args.num_processes,
                         args.process_id):

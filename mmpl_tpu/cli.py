@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-latents", default=None)
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8 W8A8 projection gemms (ops/quant.py; "
+                        "~-7%% step time measured on v5e, PERF.md)")
     p.add_argument("--profile", action="store_true",
                    help="per-phase timing report (init / per-block "
                         "diffusion / VAE), reference causal_inference.py"
@@ -60,6 +63,8 @@ def main(argv=None):
         print("error: --duration must be >= 1", file=sys.stderr)
         return 2
     import jax
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from .core.config import WAN_CONFIGS, tiny_test_config
     from .core.geometry import i2v_plan, latent_frames, pixel_frames
@@ -143,6 +148,7 @@ def main(argv=None):
                                                  False)),
             independent_first_frame=bool(
                 run_cfg.get("independent_first_frame", False)),
+            quantize=args.quantize,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
     else:
         pipe = CausalFPSInferencePipeline(
@@ -150,6 +156,7 @@ def main(argv=None):
             sampling_steps=args.sampling_steps,
             timestep_shift=args.timestep_shift,
             guidance_scale=args.guidance_scale,
+            quantize=args.quantize,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
 
     rng = jax.random.PRNGKey(args.seed + 100)

@@ -64,6 +64,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+    from mmpl_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from mmpl_tpu.parallel.mesh import init_distributed
     if init_distributed(args.coordinator, args.num_processes,
