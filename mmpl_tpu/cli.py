@@ -44,13 +44,22 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-latents", default=None)
-    p.add_argument("--quantize", default=None, choices=["int8"],
-                   help="int8 W8A8 projection gemms (ops/quant.py; "
-                        "~-7%% step time measured on v5e, PERF.md)")
+    p.add_argument("--quantize", default=None, choices=["int8", "int8wo"],
+                   help="int8 projection gemms (ops/quant.py): int8=W8A8 "
+                        "(~-7%% step time measured on v5e, PERF.md), "
+                        "int8wo=weight-only W8A16 (better numerics, "
+                        "memory-bound wins only)")
     p.add_argument("--profile", action="store_true",
                    help="per-phase timing report (init / per-block "
                         "diffusion / VAE), reference causal_inference.py"
                         ":237-271 format; few-step pipeline only")
+    p.add_argument("--preview", default=None, metavar="PATH",
+                   help="write a fast TAEHV preview video, decoded "
+                        "block-by-block DURING generation (few-step "
+                        "pipeline; utils/preview.py)")
+    p.add_argument("--taehv-path", default=None,
+                   help="taew2_1.pth weights for --preview (random "
+                        "weights in smoke mode when absent)")
     return p.parse_args(argv)
 
 
@@ -159,6 +168,34 @@ def main(argv=None):
             quantize=args.quantize,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
 
+    previewer = None
+    preview_frames = []
+    if args.preview:
+        if not denoising_step_list:
+            print("--preview requires the few-step pipeline "
+                  "(a config with denoising_step_list)", file=sys.stderr)
+            return 2
+        from .models.taehv import convert_taehv, init_taehv_params
+        from .utils.preview import TaehvPreviewer
+        if args.taehv_path:
+            from .utils.checkpoint import load_torch_state_dict
+            taehv_params = convert_taehv(
+                load_torch_state_dict(args.taehv_path))
+        else:
+            taehv_params = init_taehv_params(jax.random.PRNGKey(7))
+            print("[preview] no --taehv-path: random TAEHV weights",
+                  file=sys.stderr)
+        previewer = TaehvPreviewer(taehv_params)
+
+        def on_block(start_frame, latents_block):
+            t0 = time.time()
+            frames = previewer(latents_block)[0]       # [T, H, W, 3] u8
+            preview_frames.append(frames)
+            print(f"[preview] frames {start_frame}..: {frames.shape[0]} "
+                  f"px frames in {time.time()-t0:.2f}s", file=sys.stderr)
+    else:
+        on_block = None
+
     rng = jax.random.PRNGKey(args.seed + 100)
     videos = []
     initial_latent = None
@@ -180,7 +217,8 @@ def main(argv=None):
             F_new = ((21 - n_init) // nb) * nb
             latents = pipe.inference(noise[:, :F_new], cond,
                                      initial_latent=initial_latent, rng=ki,
-                                     profile=args.profile)
+                                     profile=args.profile,
+                                     on_block=on_block)
         else:
             latents = pipe.inference(noise, cond, uncond,
                                      initial_latent=initial_latent, rng=ki)
@@ -209,6 +247,12 @@ def main(argv=None):
         if win + 1 < args.duration:
             tail = jnp.asarray(video01[:, -5:] * 2.0 - 1.0)
             initial_latent = vae.encode(vae_params, tail)[:, :2]
+
+    if previewer is not None and preview_frames:
+        from .utils.video_io import write_video
+        ppath = write_video(args.preview,
+                            np.concatenate(preview_frames, axis=0), fps=16)
+        print(f"wrote preview {ppath}", file=sys.stderr)
 
     full = np.concatenate(videos, axis=1)    # [B, T, 3, H, W]
     if args.save_latents:

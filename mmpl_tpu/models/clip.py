@@ -138,6 +138,45 @@ def preprocess_image(image: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def xlm_roberta_clip_forward(params: Params, imgs: jnp.ndarray,
+                             txt_ids: jnp.ndarray,
+                             vis_cfg: dict = VIT_H_14,
+                             text_cfg: dict = None):
+    """Full XLMRobertaCLIP forward (clip.py:406-416): CLIP-normalised
+    images + CLIPTokenizer ids -> (visual tokens [B, 257, 1280], text
+    embedding [B, embed_dim]).  Like the reference, the visual branch
+    returns the full-depth transformer tokens (no pooling head applied —
+    clip.py:279-300 `use_31_block=False` path).
+
+    params: {"visual", "textual", "head", "log_scale"} as produced by
+    `convert_xlm_roberta_clip`."""
+    from .xlm_roberta import XLM_ROBERTA_LARGE, xlm_roberta_with_head
+    text_cfg = text_cfg if text_cfg is not None else XLM_ROBERTA_LARGE
+    xi = clip_visual_forward(params["visual"], imgs, vis_cfg,
+                             use_31_block=False)
+    xt = xlm_roberta_with_head(params["textual"], params["head"], txt_ids,
+                               text_cfg)
+    return xi, xt
+
+
+def convert_xlm_roberta_clip(sd: Dict[str, np.ndarray],
+                             vis_cfg: dict = VIT_H_14,
+                             text_cfg: dict = None,
+                             dtype=np.float32) -> Params:
+    """Full torch XLMRobertaCLIP state dict -> {"visual", "textual",
+    "head", "log_scale"} pytree (both towers; the visual-only i2v path
+    keeps using `convert_clip_visual`)."""
+    from .xlm_roberta import XLM_ROBERTA_LARGE, convert_xlm_roberta_text
+    text_cfg = text_cfg if text_cfg is not None else XLM_ROBERTA_LARGE
+    textual, head = convert_xlm_roberta_text(sd, text_cfg, dtype=dtype)
+    return {
+        "visual": convert_clip_visual(sd, vis_cfg, dtype),
+        "textual": textual,
+        "head": head,
+        "log_scale": jnp.asarray(sd["log_scale"].astype(dtype)),
+    }
+
+
 def convert_clip_visual(sd: Dict[str, np.ndarray], cfg: dict = VIT_H_14,
                         dtype=np.float32) -> Params:
     """torch XLMRobertaCLIP state dict -> visual-tower pytree.

@@ -40,6 +40,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # `quantize_params`, activations per-token inside the program
         from ..ops.quant import w8a8_matmul
         y = w8a8_matmul(x, p["kernel_q"], p["scale"])
+    elif "kernel_w8" in p:
+        # int8 weight-only (W8A16): bf16 activations, int8 weights in HBM
+        from ..ops.quant import w8a16_matmul
+        y = w8a16_matmul(x, p["kernel_w8"], p["scale"])
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
@@ -283,14 +287,29 @@ def fuse_qkv_params(params: Params, num_heads: Optional[int] = None
     return {**params, "blocks": blocks}
 
 
+def apply_quantize(params: Params, quantize) -> Params:
+    """Pipeline-facing dispatch: quantize in {None, "int8", "int8wo"}."""
+    if quantize is None:
+        return params
+    if quantize == "int8":
+        return quantize_params(params)
+    if quantize == "int8wo":
+        return quantize_params(params, weight_only=True)
+    raise NotImplementedError(f"quantize={quantize!r}")
+
+
 def quantize_params(params: Params,
                     targets: Tuple[str, ...] = ("self_attn.qkv",
                                                 "self_attn.o",
                                                 "cross_attn.q",
                                                 "cross_attn.o",
-                                                "ffn.fc1", "ffn.fc2")
-                    ) -> Params:
+                                                "ffn.fc1", "ffn.fc2"),
+                    weight_only: bool = False) -> Params:
     """int8-quantize the block projection gemms (W8A8, ops/quant.py).
+
+    weight_only=True selects W8A16 (bf16 activations on int8-in-HBM
+    weights): strictly better numerics, the same halved weight traffic,
+    no int8-MXU compute win — see `ops.quant.w8a16_matmul`.
 
     Done once at load, after `fuse_qkv_params`.  Only the big per-token
     gemms quantize; attention itself, QK norms, AdaLN, the head and all
@@ -308,7 +327,8 @@ def quantize_params(params: Params,
         sub = dict(blocks[mod])
         if name not in sub:          # e.g. qkv when not fused
             continue
-        sub[name] = quantize_linear_params(sub[name])
+        sub[name] = quantize_linear_params(sub[name],
+                                           weight_only=weight_only)
         blocks[mod] = sub
     return {**params, "blocks": blocks}
 

@@ -158,6 +158,82 @@ def _apply_seq(layers: List[Params], layout, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _apply_seq_streaming(layers: List[Params], layout, x: jnp.ndarray,
+                         state) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Chunked variant of `_apply_seq`: each MemBlock's zero-padded "past"
+    frame is replaced by the last input frame it saw in the previous chunk
+    (carried in `state`, one entry per mem layer).  state=None means first
+    chunk (zero past — identical to the parallel mode).  The TPU analogue
+    of the reference's sequential graph-traversal mode (taehv.py:90-157):
+    O(chunk) memory for arbitrarily long videos, bit-identical to the
+    full-sequence decode (tests/test_models.py)."""
+    new_state: List[jnp.ndarray] = []
+    mem_i = 0
+    for p, row in zip(layers, layout):
+        kind = row[0]
+        if kind == "conv":
+            x = _conv2d(p, x, stride=row[3])
+        elif kind == "relu":
+            x = jax.nn.relu(x)
+        elif kind == "clamp":
+            x = jnp.tanh(x / 3.0) * 3.0
+        elif kind == "mem":
+            prev = (jnp.zeros_like(x[:, :1]) if state is None
+                    else state[mem_i][:, None].astype(x.dtype))
+            past = jnp.concatenate([prev, x[:, :-1]], axis=1)
+            new_state.append(x[:, -1])
+            mem_i += 1
+            h = jnp.concatenate([x, past], axis=-1)
+            h = jax.nn.relu(_conv2d(p["c0"], h))
+            h = jax.nn.relu(_conv2d(p["c1"], h))
+            h = _conv2d(p["c2"], h)
+            skip = _conv2d(p["skip"], x) if "skip" in p else x
+            x = jax.nn.relu(h + skip)
+        elif kind == "tpool":
+            _, n, stride = row
+            if stride > 1:
+                N, T, H, W, C = x.shape
+                x = x.reshape(N, T // stride, stride, H, W, C)
+                x = x.transpose(0, 1, 3, 4, 2, 5).reshape(
+                    N, T // stride, H, W, stride * C)
+            x = _conv2d(p, x)
+        elif kind == "tgrow":
+            _, n, stride = row
+            x = _conv2d(p, x)
+            if stride > 1:
+                N, T, H, W, SC = x.shape
+                x = x.reshape(N, T, H, W, stride, SC // stride)
+                x = x.transpose(0, 1, 4, 2, 3, 5).reshape(
+                    N, T * stride, H, W, SC // stride)
+        elif kind == "upsample":
+            scale = row[1]
+            if scale > 1:
+                N, T, H, W, C = x.shape
+                x = jnp.broadcast_to(
+                    x[:, :, :, None, :, None, :],
+                    (N, T, H, scale, W, scale, C)).reshape(
+                        N, T, H * scale, W * scale, C)
+    return x, new_state
+
+
+def taehv_decode_streaming(params: Params, latents: jnp.ndarray,
+                           state=None):
+    """Chunked decode: latents [N, T, 16, h, w] -> (video chunk, state).
+
+    First chunk (state=None) trims the 3 temporal-upscale warmup frames
+    exactly like `taehv_decode`; later chunks pass the returned `state`
+    back in and get all 4*T frames.  Concatenating the chunks equals the
+    full-sequence `taehv_decode` bit-for-bit (same ops, the carried past
+    frame replaces the chunk-boundary zero pad)."""
+    x = latents.transpose(0, 1, 3, 4, 2)
+    x, new_state = _apply_seq_streaming(params["decoder"], DECODER_LAYOUT,
+                                        x, state)
+    x = x.transpose(0, 1, 4, 2, 3)
+    if state is None:
+        x = x[:, FRAMES_TO_TRIM:]
+    return x, new_state
+
+
 def taehv_encode(params: Params, video: jnp.ndarray) -> jnp.ndarray:
     """video [N, T, 3, H, W] in [0, 1] -> latents [N, T/4, 16, H/8, W/8]."""
     x = video.transpose(0, 1, 3, 4, 2)

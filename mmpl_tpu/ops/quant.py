@@ -57,11 +57,30 @@ def w8a8_matmul(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
     return y.astype(out_dtype)
 
 
-def quantize_linear_params(p: dict) -> dict:
-    """{"kernel", ["bias"]} -> {"kernel_q", "scale", ["bias"]} (int8).
-    `models.dit.linear` dispatches on the "kernel_q" key."""
+def w8a16_matmul(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
+                 out_dtype=None) -> jnp.ndarray:
+    """Weight-only variant: y = (x @ wq_bf16) * s_w — activations stay
+    bf16 (no rounding error, no dynamic-quant overhead), weights stay int8
+    in HBM (halved weight traffic; XLA fuses the s8->bf16 convert into the
+    gemm operand read).  int8 values <= 127 are exact in bf16, so the only
+    error source is the weight rounding — strictly more accurate than
+    W8A8.  Runs at the bf16 MXU rate: the right choice for memory-bound
+    projections or when W8A8's activation rounding is out of budget."""
+    out_dtype = out_dtype if out_dtype is not None else x.dtype
+    y = jax.lax.dot_general(
+        x, wq.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y * wscale
+    return y.astype(out_dtype)
+
+
+def quantize_linear_params(p: dict, weight_only: bool = False) -> dict:
+    """{"kernel", ["bias"]} -> int8 params.  W8A8 stores {"kernel_q",
+    "scale"}; weight-only (W8A16) stores {"kernel_w8", "scale"} —
+    `models.dit.linear` dispatches on the key name."""
     wq, scale = quantize_weight(p["kernel"])
-    out = {"kernel_q": wq, "scale": scale}
+    out = {("kernel_w8" if weight_only else "kernel_q"): wq,
+           "scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out

@@ -92,7 +92,8 @@ def _dit_param_spec(path: Tuple, leaf) -> P:
     is_block = "blocks" in names
     ndim = leaf.ndim
 
-    if ("kernel" in names or "kernel_q" in names) and ndim >= 2:
+    if (any(k in names for k in ("kernel", "kernel_q", "kernel_w8"))
+            and ndim >= 2):
         tp_ok = any(k in names for k in ("q", "k", "v", "qkv", "fc1", "gate"))
         if is_block and ndim == 3:
             return P(None, "fsdp", "tp" if tp_ok else None)

@@ -47,11 +47,8 @@ class CausalDiffusionInferencePipeline:
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
-        if quantize is not None:
-            if quantize != "int8":
-                raise NotImplementedError(f"quantize={quantize!r}")
-            from ..models.dit import quantize_params as _quant
-            params = _quant(params)
+        from ..models.dit import apply_quantize
+        params = apply_quantize(params, quantize)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.num_frame_per_block = num_frame_per_block

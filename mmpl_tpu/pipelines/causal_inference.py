@@ -75,11 +75,8 @@ class CausalInferencePipeline:
         if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
-        if quantize is not None:
-            if quantize != "int8":
-                raise NotImplementedError(f"quantize={quantize!r}")
-            from ..models.dit import quantize_params as _quant
-            params = _quant(params)
+        from ..models.dit import apply_quantize
+        params = apply_quantize(params, quantize)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.context_noise = context_noise
@@ -237,11 +234,19 @@ class CausalInferencePipeline:
                   initial_latent: Optional[jnp.ndarray] = None,
                   rng: Optional[jax.Array] = None,
                   return_latents: bool = True,
-                  profile: bool = False) -> jnp.ndarray:
+                  profile: bool = False,
+                  on_block=None) -> jnp.ndarray:
         """noise [B, F, C, H, W] -> denoised latents [B, F_in + F, C, H, W].
 
         Unlike the CFG pipeline there is no negative branch (the distilled
         model needs none, causal_inference.py:186-221).
+
+        on_block: optional `callback(start_frame, latents_block)` invoked
+        after each denoised block (and each committed context block) in
+        generation order — the hook for streaming preview decode
+        (`utils.preview.TaehvPreviewer`) or progressive delivery.  The
+        callback runs on the host between block dispatches; keep it cheap
+        or the AR chain stalls.
 
         profile=True reproduces the reference's per-phase report
         (causal_inference.py:237-271): init/caching, per-block diffusion,
@@ -287,6 +292,8 @@ class CausalInferencePipeline:
                 cache = fn(self.params, ctx_kv, cache,
                            clean.astype(jnp.float32))
                 outputs.append(clean.astype(jnp.float32))
+                if on_block is not None:
+                    on_block(start, outputs[-1])
                 consumed += g
                 start += g
 
@@ -320,6 +327,8 @@ class CausalInferencePipeline:
                 _sync(x)
                 timer.record_block(time.perf_counter() - t_blk0)
             outputs.append(x)
+            if on_block is not None:
+                on_block(start, x)
             consumed += g
             start += g
 

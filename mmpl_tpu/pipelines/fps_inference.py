@@ -69,13 +69,11 @@ class CausalFPSInferencePipeline:
             from ..models.dit import fuse_qkv_params
             # one [D,3D] gemm per layer + split-half rope layout
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
-        if quantize is not None:
-            if quantize != "int8":
-                raise NotImplementedError(f"quantize={quantize!r}")
-            # int8 W8A8 projection gemms (ops/quant.py) — the TPU-native
-            # analogue of the reference's TensorRT INT8 engines
-            from ..models.dit import quantize_params as _quant
-            params = _quant(params)
+        # int8 projection gemms (ops/quant.py) — the TPU-native analogue
+        # of the reference's TensorRT INT8 engines ("int8" W8A8 /
+        # "int8wo" weight-only)
+        from ..models.dit import apply_quantize
+        params = apply_quantize(params, quantize)
         if mesh is not None and shard_params:
             from ..parallel.mesh import shard_params_for_inference
             params = shard_params_for_inference(params, mesh)

@@ -1,0 +1,73 @@
+"""Fast block-wise preview decode via the TAEHV tiny VAE.
+
+The reference ships TAEHV (`MMPL_t2v/demo_utils/taehv.py:159`) as its fast
+preview decoder but never wires it into a pipeline; here it is a
+first-class streaming previewer: the few-step AR pipeline hands each
+denoised block to `TaehvPreviewer`, which decodes it with carried
+MemBlock state (O(block) memory, one compiled program per block shape)
+and returns uint8 RGB frames — live preview frames while the full-quality
+Wan VAE decode happens once at the end.
+
+Latent space: the previewer consumes the pipeline's *diffusion-space*
+latents directly — TAEHV's contract is "NTCHW latent tensor with
+~Gaussian values" (taehv.py:223), which is the normalized space the
+sampler works in.  Pass `denormalize=True` to invert the Wan per-channel
+normalization first if a checkpoint trained on raw VAE latents is used.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import taehv as _taehv
+
+
+class TaehvPreviewer:
+    """Streaming per-block preview decoder.
+
+    Call with each latent block [B, T, 16, h, w] in generation order;
+    returns uint8 frames [B, T*4 (-3 on first block), 8h, 8w, 3].
+    `reset()` between independent videos.
+    """
+
+    def __init__(self, taehv_params, denormalize: bool = False,
+                 dtype=jnp.float32):
+        self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                                   taehv_params)
+        self.denormalize = denormalize
+        self._state = None
+        self._first = jax.jit(
+            lambda p, z: _taehv.taehv_decode_streaming(p, z, None))
+        self._next = jax.jit(_taehv.taehv_decode_streaming)
+
+    def reset(self) -> None:
+        self._state = None
+
+    def __call__(self, latents: jnp.ndarray) -> np.ndarray:
+        z = latents.astype(jnp.float32)
+        if self.denormalize:
+            from ..models.vae import LATENT_MEAN, LATENT_STD
+            z = (z * jnp.asarray(LATENT_STD)[:, None, None]
+                 + jnp.asarray(LATENT_MEAN)[:, None, None])
+        if self._state is None:
+            video, self._state = self._first(self.params, z)
+        else:
+            video, self._state = self._next(self.params, z, self._state)
+        frames = np.asarray(jnp.clip(video, 0.0, 1.0) * 255.0,
+                            dtype=np.float32).astype(np.uint8)
+        return np.transpose(frames, (0, 1, 3, 4, 2))   # [B,T,H,W,3]
+
+
+def make_preview_callback(previewer: TaehvPreviewer,
+                          sink: Callable[[int, np.ndarray], None]
+                          ) -> Callable:
+    """Adapt a previewer to the pipelines' `on_block(start, latents)` hook:
+    decodes each block and forwards (start_frame, uint8 frames) to `sink`
+    (e.g. a file writer or an HTTP push)."""
+    def on_block(start_frame: int, latents: jnp.ndarray) -> None:
+        sink(start_frame, previewer(latents))
+    return on_block

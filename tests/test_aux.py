@@ -96,6 +96,55 @@ class TestTAEHV:
         lat = taehv.taehv_encode(params, video)
         assert lat.shape == (1, 1, 16, 2, 2)
 
+    def test_streaming_decode_matches_full(self):
+        """Chunked decode with carried MemBlock state == one-shot decode."""
+        from mmpl_tpu.models import taehv
+        params = taehv.init_taehv_params(jax.random.PRNGKey(0))
+        lat = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 16, 4, 4))
+        full = np.asarray(taehv.taehv_decode(params, lat))
+        state = None
+        chunks = []
+        for lo, hi in ((0, 3), (3, 5), (5, 6)):   # uneven chunk sizes
+            out, state = taehv.taehv_decode_streaming(
+                params, lat[:, lo:hi], state)
+            chunks.append(np.asarray(out))
+        streamed = np.concatenate(chunks, axis=1)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-5)
+
+    def test_previewer_with_pipeline_on_block(self):
+        """TaehvPreviewer wired through CausalInferencePipeline(on_block=)
+        yields uint8 preview frames for every generated block."""
+        from mmpl_tpu.models import dit, taehv
+        from mmpl_tpu.pipelines.causal_inference import (
+            CausalInferencePipeline)
+        from mmpl_tpu.utils.preview import TaehvPreviewer
+        from mmpl_tpu.core.config import tiny_test_config
+        cfg = tiny_test_config()
+        params = dit.init_dit_params(jax.random.PRNGKey(0), cfg,
+                                     jnp.float32)
+        pipe = CausalInferencePipeline(
+            cfg, params, denoising_step_list=(1000, 500),
+            num_frame_per_block=3, dtype=jnp.float32)
+        previewer = TaehvPreviewer(
+            taehv.init_taehv_params(jax.random.PRNGKey(7)))
+        seen = []
+
+        def on_block(start, latents):
+            seen.append((start, previewer(latents)))
+
+        noise = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 8, 8))
+        cond = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, cfg.text_len, cfg.text_dim))
+        pipe.inference(noise, cond, rng=jax.random.PRNGKey(3),
+                       on_block=on_block)
+        assert [s for s, _ in seen] == [0, 3]
+        first, second = seen[0][1], seen[1][1]
+        # 3 latent frames -> 12 pixel frames; first block trims 3 warmup
+        assert first.shape == (1, 9, 64, 64, 3)
+        assert second.shape == (1, 12, 64, 64, 3)
+        assert first.dtype == np.uint8
+
 
 class TestCLIP:
     def test_visual_forward(self):
@@ -108,6 +157,70 @@ class TestCLIP:
         # 2x2 patches + cls = 5 tokens; 31-block -> num_layers-1 applied
         assert out.shape == (2, 5, 64)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_xlm_roberta_clip_facade(self):
+        """Full XLMRobertaCLIP (clip.py:328-416): synthetic torch-layout
+        state dict -> combined pytree -> (visual tokens, text embedding)."""
+        from mmpl_tpu.models import clip
+        rng = np.random.default_rng(0)
+        vis_cfg = dict(image_size=28, patch_size=14, dim=24, mlp_ratio=2,
+                       num_heads=4, num_layers=2)
+        text_cfg = dict(vocab_size=64, max_seq_len=24, type_size=1,
+                        pad_id=1, dim=16, num_heads=4, num_layers=2,
+                        eps=1e-5)
+        out_dim, d = 8, vis_cfg["dim"]
+        sd = {"log_scale": np.float32(np.log(1 / 0.07))}
+
+        def add(name, *shape, bias=None):
+            sd[name + ".weight"] = rng.standard_normal(shape).astype(
+                np.float32) * 0.05
+            if bias is not None:
+                sd[name + ".bias"] = np.zeros(bias, np.float32)
+
+        # visual tower (conv kernel [d, 3, p, p]; torch Linear [out, in])
+        sd["visual.patch_embedding.weight"] = rng.standard_normal(
+            (d, 3, 14, 14)).astype(np.float32) * 0.05
+        sd["visual.cls_embedding"] = rng.standard_normal(
+            (1, 1, d)).astype(np.float32)
+        sd["visual.pos_embedding"] = rng.standard_normal(
+            (1, 5, d)).astype(np.float32)
+        add("visual.pre_norm", d, bias=d)
+        for i in range(vis_cfg["num_layers"]):
+            pre = f"visual.transformer.{i}"
+            add(f"{pre}.norm1", d, bias=d)
+            add(f"{pre}.attn.to_qkv", 3 * d, d, bias=3 * d)
+            add(f"{pre}.attn.proj", d, d, bias=d)
+            add(f"{pre}.norm2", d, bias=d)
+            add(f"{pre}.mlp.0", 2 * d, d, bias=2 * d)
+            add(f"{pre}.mlp.2", d, 2 * d, bias=d)
+        # text tower
+        td = text_cfg["dim"]
+        add("textual.token_embedding", text_cfg["vocab_size"], td)
+        add("textual.pos_embedding", text_cfg["max_seq_len"], td)
+        add("textual.type_embedding", 1, td)
+        add("textual.norm", td, bias=td)
+        for i in range(text_cfg["num_layers"]):
+            pre = f"textual.blocks.{i}"
+            for nm in ("q", "k", "v", "o"):
+                add(f"{pre}.attn.{nm}", td, td, bias=td)
+            add(f"{pre}.norm1", td, bias=td)
+            add(f"{pre}.ffn.0", 4 * td, td, bias=4 * td)
+            add(f"{pre}.ffn.2", td, 4 * td, bias=td)
+            add(f"{pre}.norm2", td, bias=td)
+        mid = (td + out_dim) // 2
+        add("textual.head.0", mid, td)
+        add("textual.head.2", out_dim, mid)
+
+        params = clip.convert_xlm_roberta_clip(sd, vis_cfg, text_cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+        ids = jnp.asarray([[0, 5, 2, 1], [0, 9, 2, 1]], jnp.int32)
+        xi, xt = clip.xlm_roberta_clip_forward(params, imgs, ids, vis_cfg,
+                                               text_cfg)
+        assert xi.shape == (2, 5, d)          # full-depth visual tokens
+        assert xt.shape == (2, out_dim)
+        assert float(params["log_scale"]) == pytest.approx(np.log(1 / 0.07))
+        assert np.isfinite(np.asarray(xi)).all()
+        assert np.isfinite(np.asarray(xt)).all()
 
     def test_preprocess(self):
         from mmpl_tpu.models.clip import preprocess_image

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from mmpl_tpu.core.config import tiny_test_config
 from mmpl_tpu.models import dit
 from mmpl_tpu.ops.quant import (quantize_linear_params, quantize_weight,
-                                w8a8_matmul)
+                                w8a8_matmul, w8a16_matmul)
 from helpers import randomize_head
 
 
@@ -52,6 +52,57 @@ def test_w8a8_matmul_accuracy():
     cos = (got.ravel() @ ref.ravel()) / (
         np.linalg.norm(got) * np.linalg.norm(ref))
     assert cos > 0.999, cos
+
+
+def test_w8a16_matmul_more_accurate_than_w8a8():
+    """Weight-only drops the activation rounding: error strictly from the
+    weight quantization, so it beats W8A8 on the same operands."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    x = jax.random.normal(k1, (4, 512, 256), jnp.float32)
+    w = jax.random.normal(k2, (256, 384), jnp.float32)
+    wq, scale = quantize_weight(w)
+    ref = np.asarray(x) @ np.asarray(w)
+    rel_wo = np.linalg.norm(np.asarray(w8a16_matmul(x, wq, scale)) - ref)
+    rel_a8 = np.linalg.norm(np.asarray(w8a8_matmul(x, wq, scale)) - ref)
+    assert rel_wo < rel_a8
+    assert rel_wo / np.linalg.norm(ref) < 0.01
+
+
+def test_linear_dispatches_on_kernel_w8():
+    p = {"kernel": jax.random.normal(jax.random.PRNGKey(3), (64, 32)),
+         "bias": jax.random.normal(jax.random.PRNGKey(4), (32,))}
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 64))
+    ref = np.asarray(dit.linear(p, x))
+    qp = quantize_linear_params(p, weight_only=True)
+    assert "kernel_w8" in qp and qp["kernel_w8"].dtype == jnp.int8
+    got = np.asarray(dit.linear(qp, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+
+def test_int8wo_fps_pipeline_end_to_end():
+    """quantize="int8wo" through the public FPS pipeline runs and stays
+    at least as close to fp32 as the W8A8 path."""
+    from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    mk = lambda q: CausalFPSInferencePipeline(
+        cfg, params, sampling_steps=4, guidance_scale=5.0,
+        quantize=q, dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 21, 16, 4, 4))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    cond = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+    uncond = jax.random.normal(k2, (1, cfg.text_len, cfg.text_dim))
+    rng = jax.random.PRNGKey(7)
+    ref = np.asarray(mk(None).inference(noise, cond, uncond, rng=rng))
+    got = np.asarray(mk("int8wo").inference(noise, cond, uncond, rng=rng))
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.15, rel
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.98, cos
 
 
 def test_linear_dispatches_on_kernel_q():

@@ -3,7 +3,7 @@ bf16 vs int8-quantized projections, dispatch-amortised (K dependent steps
 inside one program — the same structure as the solver scan).
 
 Run each mode in its own process (both pytrees + the CFG cache would
-crowd 16 GB):  python tools/int8_model_probe.py bf16|int8
+crowd 16 GB):  python tools/int8_model_probe.py bf16|int8|int8wo
 """
 
 import sys
@@ -35,8 +35,9 @@ def main(mode: str):
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
     params = dit.fuse_qkv_params(params, num_heads=cfg.num_heads)
-    if mode == "int8":
-        params = dit.quantize_params(params)
+    if mode in ("int8", "int8wo"):
+        params = dit.quantize_params(params,
+                                     weight_only=(mode == "int8wo"))
         params = jax.device_put(params)    # drop the bf16 originals
     ctx = jax.random.normal(jax.random.PRNGKey(1),
                             (B, cfg.text_len, cfg.text_dim), dtype)
