@@ -102,10 +102,13 @@ def init_taehv_params(key, dtype=jnp.float32) -> Params:
 def _conv2d(p, x, stride=1):
     """x [N, T, H, W, C] -> per-frame conv."""
     N, T, H, W, C = x.shape
+    # torch Conv2d(padding=1) pads symmetrically even at stride 2, where
+    # XLA's "SAME" would pad (0, 1) — explicit padding keeps bit parity
+    # with the reference (caught by test_reference_parity::test_taehv_parity)
+    pad = ((1, 1), (1, 1)) if p["kernel"].shape[0] == 3 else ((0, 0), (0, 0))
     y = jax.lax.conv_general_dilated(
         x.reshape(N * T, H, W, C), p["kernel"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding="SAME" if p["kernel"].shape[0] == 3 else "VALID",
+        window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -389,3 +389,35 @@ def test_clip_visual_parity():
     got = np.asarray(clip_visual_forward(params, jnp.asarray(img), cfg))
     err = np.abs(got - twant).max()
     assert err < 2e-4 * max(np.abs(twant).max(), 1.0), err
+
+
+def test_taehv_parity():
+    """Reference TAEHV (demo_utils/taehv.py:159) vs models/taehv.py: same
+    random weights through both encode_video and decode_video (parallel
+    mode; the reference returns untrimmed frames — decode_video:236)."""
+    from mmpl_tpu.models.taehv import (convert_taehv, taehv_decode,
+                                       taehv_encode)
+    tae = _load_ref_module("ref_taehv", f"{REF}/demo_utils/taehv.py")
+    torch.manual_seed(0)
+    tmodel = tae.TAEHV(checkpoint_path=None).float().eval()
+    params = convert_taehv(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()})
+
+    rng = np.random.default_rng(5)
+    vid = rng.random((1, 8, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        lat_want = tmodel.encode_video(
+            torch.tensor(vid), parallel=True,
+            show_progress_bar=False).numpy()
+    lat_got = np.asarray(taehv_encode(params, jnp.asarray(vid)))
+    assert lat_got.shape == lat_want.shape
+    np.testing.assert_allclose(lat_got, lat_want, atol=2e-5, rtol=1e-4)
+
+    z = (rng.standard_normal((1, 3, 16, 8, 8)) * 0.7).astype(np.float32)
+    with torch.no_grad():
+        px_want = tmodel.decode_video(
+            torch.tensor(z), parallel=True,
+            show_progress_bar=False).numpy()
+    px_got = np.asarray(taehv_decode(params, jnp.asarray(z), trim=False))
+    assert px_got.shape == px_want.shape
+    np.testing.assert_allclose(px_got, px_want, atol=2e-5, rtol=1e-4)
