@@ -255,26 +255,29 @@ class ParallelVideoGenerationService:
 
     def _store(self, task_id: str, seqid: str, code: int, message: str,
                flag: int, status: str, videos: List[str],
-               covers: List[str], text_en: str) -> dict:
+               covers: List[str], text_en: str,
+               progress: Optional[dict] = None) -> dict:
         rec = {
             "task_id": task_id, "seqid": seqid, "code": code,
             "message": message, "flag": flag, "status": status,
             "data": {"video": videos, "cover_image": covers,
                      "text_en": text_en},
         }
+        if progress is not None:
+            rec["progress"] = progress
         self.task_storage.add_task(task_id, rec)
         if seqid != task_id:
             self.task_storage.add_task(seqid, rec)
         return rec
 
     def _publish_artifacts(self, task_id: str, seqid: str,
-                           paths: List[str]):
+                           paths: List[str], chunk_offset: int = 0):
         """Per-chunk publication (fastapi_parallel_t2v_server.py:618-653):
         extract the first frame as a cover PNG, inject AIGC metadata into
         both artifacts, upload, return (video_urls, cover_urls)."""
         ts = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
         urls, covers = [], []
-        for i, path in enumerate(paths):
+        for i, path in enumerate(paths, start=chunk_offset):
             base = os.path.join(self.config.output_folder,
                                 f"{task_id}_{ts}_chunk{i + 1}")
             media_video = MediaMetadataHandler.write_video_metadata(
@@ -301,14 +304,53 @@ class ParallelVideoGenerationService:
                         [], [], prompt)
             text = self.expander.expand(prompt) \
                 if request.get("use_expansion", False) else prompt
+            num_chunks = int(request.get("num_chunks",
+                                         self.config.num_chunks))
+
+            # Progressive per-chunk publication (the reference i2v server
+            # appends each chunk's result to a lock-guarded list as it
+            # finishes, fastapi_parallel_i2v_server.py:706-835): backends
+            # that accept `on_chunk` get a callback per finished chunk;
+            # the task record carries the artifacts so far + a progress
+            # field while still PROCESSING.
+            done_urls: List[str] = []
+            done_covers: List[str] = []
+            chunk_counter = {"n": 0}
+
+            def on_chunk(path: str) -> None:
+                u, c = self._publish_artifacts(
+                    task_id, seqid, [path],
+                    chunk_offset=chunk_counter["n"])
+                chunk_counter["n"] += 1
+                done_urls.extend(u)
+                done_covers.extend(c)
+                self._store(task_id, seqid, ResponseCode.SUCCESS.value,
+                            "processing", 1, TaskStatus.PROCESSING.value,
+                            list(done_urls), list(done_covers), text,
+                            progress={"done": chunk_counter["n"],
+                                      "total": num_chunks})
+
+            import inspect
+            kwargs = {}
+            try:
+                if "on_chunk" in inspect.signature(
+                        self.backend).parameters:
+                    kwargs["on_chunk"] = on_chunk
+            except (TypeError, ValueError):
+                pass
             paths = self.backend(
                 prompt=text,
-                num_chunks=int(request.get("num_chunks",
-                                           self.config.num_chunks)),
+                num_chunks=num_chunks,
                 seed=int(request.get("seed", 0)),
                 image=request.get("image"),
+                **kwargs,
             )
-            urls, covers = self._publish_artifacts(task_id, seqid, paths)
+            if kwargs and chunk_counter["n"] == len(paths):
+                # every chunk already published progressively
+                urls, covers = done_urls, done_covers
+            else:
+                urls, covers = self._publish_artifacts(task_id, seqid,
+                                                       paths)
             self._store(task_id, seqid, ResponseCode.SUCCESS.value, "ok", 1,
                         TaskStatus.SUCCESS.value, urls, covers, text)
             CallbackHandler.execute_callback(
@@ -439,7 +481,7 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
     neg = cfg.sample_neg_prompt
 
     def backend(prompt: str, num_chunks: int, seed: int,
-                image=None) -> List[str]:
+                image=None, on_chunk=None) -> List[str]:
       # one generation at a time: concurrent request threads share the
       # pipeline replicas (mirrors the reference's per-GPU serialisation)
       with gen_lock:
@@ -461,6 +503,9 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
         chunks = pipe.generate(noises, cond, uncond, rng=rng,
                                initial_latent=initial)
         vids = pipe.decode_chunks(chunks)
+        # chunks finish in order on their stage queues: materialising
+        # vids[i] blocks only on chunk i, so each written file can be
+        # published (on_chunk) while later chunks still compute
         paths = []
         for i, v in enumerate(vids):
             arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
@@ -468,6 +513,8 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
             out = os.path.join(config.output_folder,
                                f"{prompt[:50]}-chunk{i + 1}-seed{seed}.mp4")
             paths.append(write_video(out, frames, fps=16))
+            if on_chunk is not None:
+                on_chunk(paths[-1])
         return paths
 
     return backend

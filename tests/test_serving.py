@@ -204,3 +204,68 @@ def test_cover_image_and_aigc_metadata(tmp_path):
     out = MediaMetadataHandler.write_video_metadata("sq", bad,
                                                     str(tmp_path / "o.mp4"))
     assert out in (bad, str(tmp_path / "o.mp4"))
+
+
+def test_progressive_chunk_publication(tmp_path):
+    """Backends accepting `on_chunk` get per-chunk publication: the task
+    record shows artifacts + progress while still PROCESSING (reference
+    i2v server appends results chunk-by-chunk under a lock,
+    fastapi_parallel_i2v_server.py:706-835)."""
+    import numpy as np
+    from PIL import Image
+
+    gate = threading.Event()        # blocks the backend after chunk 1
+    saw_partial = {}
+
+    def _write_fake_video(p):
+        # a real 1-frame gif so cover extraction works
+        Image.fromarray(
+            np.full((8, 8, 3), 128, np.uint8)).save(p, format="GIF")
+
+    def backend(prompt, num_chunks, seed, image=None, on_chunk=None):
+        paths = []
+        for i in range(num_chunks):
+            p = str(tmp_path / f"c{i}.gif")
+            _write_fake_video(p)
+            paths.append(p)
+            if on_chunk is not None:
+                on_chunk(p)
+            if i == 0:
+                gate.wait(timeout=10)
+        return paths
+
+    cfg = ParallelServerConfig(host="127.0.0.1", port=0,
+                               output_folder=str(tmp_path))
+    srv = create_server(cfg, backend=backend)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        _, body = _post(port, "/parallel_text_2_video",
+                        {"prompt": "p", "num_chunks": 2, "seed": 1})
+        task_id = body["task_id"]
+        # chunk 1 publishes while the backend is still blocked on `gate`
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, rec = _get(port, f"/status/{task_id}")
+            if rec.get("progress", {}).get("done") == 1:
+                saw_partial = rec
+                break
+            time.sleep(0.05)
+        assert saw_partial, "no partial publication observed"
+        assert saw_partial["status"] == TaskStatus.PROCESSING.value
+        assert len(saw_partial["data"]["video"]) == 1
+        assert saw_partial["progress"] == {"done": 1, "total": 2}
+        gate.set()
+        deadline = time.time() + 10
+        rec = None
+        while time.time() < deadline:
+            _, rec = _get(port, f"/status/{task_id}")
+            if rec.get("status") == TaskStatus.SUCCESS.value:
+                break
+            time.sleep(0.05)
+        assert rec["status"] == TaskStatus.SUCCESS.value
+        assert len(rec["data"]["video"]) == 2
+        assert len(rec["data"]["cover_image"]) == 2
+    finally:
+        srv.shutdown()
