@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "(~-7%% step time measured on v5e, PERF.md), "
                         "int8wo=weight-only W8A16 (better numerics, "
                         "memory-bound wins only)")
+    p.add_argument("--quantize-cache", action="store_true",
+                   help="int8 KV cache with per-token scales (halves the "
+                        "dominant HBM resident of the 50-step CFG "
+                        "pipelines; models/fps_dit.init_kv_cache)")
     p.add_argument("--profile", action="store_true",
                    help="per-phase timing report (init / per-block "
                         "diffusion / VAE), reference causal_inference.py"
@@ -158,6 +162,7 @@ def main(argv=None):
             independent_first_frame=bool(
                 run_cfg.get("independent_first_frame", False)),
             quantize=args.quantize,
+            quantize_cache=args.quantize_cache,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
     else:
         pipe = CausalFPSInferencePipeline(
@@ -166,6 +171,7 @@ def main(argv=None):
             timestep_shift=args.timestep_shift,
             guidance_scale=args.guidance_scale,
             quantize=args.quantize,
+            quantize_cache=args.quantize_cache,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
 
     previewer = None

@@ -41,7 +41,7 @@ from .dit import (Params, block_forward, head_forward, linear, patchify,
 
 def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
                   num_slots: int = KV_CACHE_SLOTS,
-                  dtype=jnp.bfloat16) -> Params:
+                  dtype=jnp.bfloat16, quantize: bool = False) -> Params:
     """Zeroed planned KV cache (casual_fps_inference.py:453-480).
 
     Layout [L, B, SLOTS, S, N*d]: frame-slot granular so plan writes and
@@ -52,10 +52,32 @@ def init_kv_cache(cfg, batch_size: int, tokens_per_frame: int,
     cache measured 10.7 GB instead of 8.0).  (S, N*d) = (1560, 1536) tiles
     exactly, and the (n, d) split/merge at the attention boundary is a
     free minor-dim reshape.
+
+    quantize=True stores K/V as int8 with per-token f32 scales
+    ([L, B, SLOTS, S] — one scale across the merged head dim; K is
+    per-head RMS-normalised by the QK-norm so head magnitudes are
+    comparable): the cache — the dominant HBM resident at 50-step CFG
+    scale (12.06 GB for the 1.3B causal-diffusion config) — halves.
+    `fps_forward_group` dequantises after the visibility gather and
+    quantises at the commit write; attention itself stays bf16.
     """
     n, d = cfg.num_heads, cfg.dim // cfg.num_heads
     shape = (cfg.num_layers, batch_size, num_slots, tokens_per_frame, n * d)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not quantize:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    return {"k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
+
+
+def _quantize_cache_tokens(x: jnp.ndarray):
+    """[..., C] float -> (int8 [..., C], f32 scale [...]) per-token."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    xq = jnp.clip(jnp.round(xf / s[..., None]), -127, 127)
+    return xq.astype(jnp.int8), s
 
 
 def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
@@ -112,16 +134,25 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                         if f not in own)
     vis_other = jnp.asarray(other_slots, dtype=jnp.int32)
 
-    def self_attn(sp, ck, cv, xm):
+    quantized_cache = "k_scale" in kv_cache
+
+    def self_attn(sp, ck, cv, cks, cvs, xm):
         """Planned-cache attention; returns (out, own_k, own_v)."""
         L = xm.shape[1]
         q, k, v = qkv_project(sp, xm, n, d, cos, sin)
 
         if other_slots:
-            kv_k = jnp.concatenate(
-                [ck[:, vis_other].reshape(B, -1, n, d), k], axis=1)
-            kv_v = jnp.concatenate(
-                [cv[:, vis_other].reshape(B, -1, n, d), v], axis=1)
+            ck_g = ck[:, vis_other]
+            cv_g = cv[:, vis_other]
+            if cks is not None:
+                # int8 cache: dequantise the gathered visible set only
+                # (per-token scales; attention itself stays bf16)
+                ck_g = ck_g.astype(k.dtype) * cks[:, vis_other][
+                    ..., None].astype(k.dtype)
+                cv_g = cv_g.astype(v.dtype) * cvs[:, vis_other][
+                    ..., None].astype(v.dtype)
+            kv_k = jnp.concatenate([ck_g.reshape(B, -1, n, d), k], axis=1)
+            kv_v = jnp.concatenate([cv_g.reshape(B, -1, n, d), v], axis=1)
         else:
             kv_k, kv_v = k, v
         out = attention(q, kv_k, kv_v)
@@ -129,23 +160,35 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                 k.reshape(B, G, S, n * d), v.reshape(B, G, S, n * d))
 
     def scan_body(x, layer_in):
-        bp, ckv, ck, cv = layer_in
+        bp, ckv, ck, cv = layer_in[:4]
+        cks, cvs = layer_in[4:] if quantized_cache else (None, None)
         own_kv = {}
 
         def self_attn_fn(xm):
             out, own_kv["k"], own_kv["v"] = self_attn(
-                bp["self_attn"], ck, cv, xm)
+                bp["self_attn"], ck, cv, cks, cvs, xm)
             return out
 
         x = block_forward(bp, cfg, x, e0, self_attn_fn, ckv, G)
         return x, (own_kv["k"], own_kv["v"])
 
-    x, (own_k, own_v) = jax.lax.scan(
-        scan_body, x, (params["blocks"], ctx_kv, kv_cache["k"],
-                       kv_cache["v"]))
+    xs = (params["blocks"], ctx_kv, kv_cache["k"], kv_cache["v"])
+    if quantized_cache:
+        xs = xs + (kv_cache["k_scale"], kv_cache["v_scale"])
+    x, (own_k, own_v) = jax.lax.scan(scan_body, x, xs)
 
     if schedule.append_mode:
         new_cache = kv_cache
+    elif quantized_cache:
+        slots = jnp.asarray(schedule.write_slots, dtype=jnp.int32)
+        kq, ks = _quantize_cache_tokens(own_k)
+        vq, vs = _quantize_cache_tokens(own_v)
+        new_cache = {
+            "k": kv_cache["k"].at[:, :, slots].set(kq),
+            "v": kv_cache["v"].at[:, :, slots].set(vq),
+            "k_scale": kv_cache["k_scale"].at[:, :, slots].set(ks),
+            "v_scale": kv_cache["v_scale"].at[:, :, slots].set(vs),
+        }
     else:
         slots = jnp.asarray(schedule.write_slots, dtype=jnp.int32)
         new_cache = {

@@ -160,7 +160,10 @@ def kv_cache_shardings(mesh: Mesh, cache, dp_axis: str = "dp",
         if (dp_axis in mesh.shape and leaf.ndim >= 2
                 and leaf.shape[1] % mesh.shape[dp_axis] == 0):
             dims[1] = dp_axis
-        if (tp_axis in mesh.shape and leaf.ndim >= 2
+        # int8-cache scale leaves are [L, B, SLOTS, S] — their last dim is
+        # tokens, not heads: dp-shard only (tp would mis-align them with
+        # the channel-sharded value leaves)
+        if (leaf.ndim == 5 and tp_axis in mesh.shape
                 and leaf.shape[-1] % mesh.shape[tp_axis] == 0):
             dims[-1] = tp_axis
         return NamedSharding(mesh, P(*dims))

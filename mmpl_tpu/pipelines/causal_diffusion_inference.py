@@ -42,7 +42,13 @@ class CausalDiffusionInferencePipeline:
                  num_frame_per_block: int = 3,
                  local_attn_frames: int = 21,
                  quantize: Optional[str] = None,
+                 quantize_cache: bool = False,
                  dtype=jnp.bfloat16):
+        """quantize_cache=True stores the KV cache int8 with per-token
+        scales (models.fps_dit.init_kv_cache) — the cache is the dominant
+        HBM resident of this pipeline (12.06 GB at 1.3B batched-CFG,
+        21 slots), so this halves it; K/V dequantise after the visibility
+        gather, attention stays bf16."""
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
@@ -53,6 +59,7 @@ class CausalDiffusionInferencePipeline:
         self.guidance_scale = float(guidance_scale)
         self.num_frame_per_block = num_frame_per_block
         self.local_attn_frames = local_attn_frames
+        self.quantize_cache = bool(quantize_cache)
         self.dtype = dtype
         self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift)
         self.steps_per_program = int(
@@ -159,7 +166,8 @@ class CausalDiffusionInferencePipeline:
         cache = init_kv_cache(self.cfg, 2 * B, H * W // 4,
                               num_slots=max(n_init + F,
                                             self.local_attn_frames),
-                              dtype=self.dtype)
+                              dtype=self.dtype,
+                              quantize=self.quantize_cache)
         outputs = []
         start = 0
         if initial_latent is not None:

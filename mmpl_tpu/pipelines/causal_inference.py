@@ -60,6 +60,7 @@ class CausalInferencePipeline:
                  warp_denoising_step: bool = False,
                  fuse_qkv: bool = True,
                  quantize: Optional[str] = None,
+                 quantize_cache: bool = False,
                  dtype=jnp.bfloat16):
         """max_attention_frames: enables the ROLLING KV cache — a fixed
         `max_attention_frames`-slot buffer in recency order with the first
@@ -79,6 +80,7 @@ class CausalInferencePipeline:
         params = apply_quantize(params, quantize)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
+        self.quantize_cache = bool(quantize_cache)
         self.context_noise = context_noise
         self.independent_first_frame = independent_first_frame
         self.local_attn_frames = (max_attention_frames
@@ -175,7 +177,9 @@ class CausalInferencePipeline:
             return jnp.concatenate(
                 [x[:, :, :s0], x[:, :, s0 + G:], x[:, :, s0:s0 + G]], axis=2)
 
-        cache = {"k": evict(cache["k"]), "v": evict(cache["v"])}
+        # slot rotation applies uniformly to every cache leaf (including
+        # the int8 per-token scale planes when quantize_cache is on)
+        cache = {name: evict(leaf) for name, leaf in cache.items()}
         rope_cs = dynamic_rope_table(start_frame, G, H // 2, W // 2, d)
 
         x = noisy.astype(jnp.float32)
@@ -270,7 +274,8 @@ class CausalInferencePipeline:
             num_slots = cap if cap is not None else max(
                 total, self.local_attn_frames)
             cache = init_kv_cache(self.cfg, B, H * W // 4,
-                                  num_slots=num_slots, dtype=self.dtype)
+                                  num_slots=num_slots, dtype=self.dtype,
+                                  quantize=self.quantize_cache)
             if timer:
                 _sync(ctx_kv)
         outputs = []

@@ -55,6 +55,7 @@ class CausalFPSInferencePipeline:
                  mesh=None, shard_params: bool = True,
                  fuse_qkv: bool = True,
                  quantize: Optional[str] = None,
+                 quantize_cache: bool = False,
                  dtype=jnp.bfloat16):
         """mesh: optional jax.sharding.Mesh with (dp, fsdp, tp) axes.  When
         given, params are placed with (fsdp, tp) NamedShardings (unless
@@ -79,6 +80,8 @@ class CausalFPSInferencePipeline:
             params = shard_params_for_inference(params, mesh)
         self.params = params
         self.plan = plan or t2v_plan()
+        # int8 KV cache (per-token scales; models.fps_dit.init_kv_cache)
+        self.quantize_cache = bool(quantize_cache)
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
         # 'unipc' | 'dpm++' (casual_fps_inference.py:503-524); both samplers
@@ -148,7 +151,8 @@ class CausalFPSInferencePipeline:
         """Create the KV cache; under a mesh it is created already sharded
         (out_shardings) so a 14B cache never materialises replicated."""
         mk = functools.partial(init_kv_cache, self.cfg, batch2,
-                               tokens_per_frame, KV_CACHE_SLOTS, self.dtype)
+                               tokens_per_frame, KV_CACHE_SLOTS, self.dtype,
+                               quantize=self.quantize_cache)
         if self.mesh is None:
             return mk()
         from ..parallel.mesh import kv_cache_shardings

@@ -179,3 +179,112 @@ def test_quantized_fps_pipeline_end_to_end():
         np.linalg.norm(got) * np.linalg.norm(ref))
     assert rel < 0.25, rel           # 4-step CFG solver amplifies ~2%/gemm
     assert cos > 0.97, cos
+
+
+class TestInt8KVCache:
+    """int8 KV cache with per-token scales (models.fps_dit.init_kv_cache
+    quantize=True): halves the dominant HBM resident of the 50-step CFG
+    pipelines; K/V dequantise after the visibility gather."""
+
+    def test_cache_layout(self):
+        from mmpl_tpu.models.fps_dit import init_kv_cache
+        cfg = tiny_test_config()
+        c = init_kv_cache(cfg, 2, 16, num_slots=5, quantize=True)
+        assert c["k"].dtype == jnp.int8 and c["v"].dtype == jnp.int8
+        assert c["k_scale"].shape == c["k"].shape[:-1]
+        assert c["k_scale"].dtype == jnp.float32
+
+    def test_quantize_tokens_roundtrip(self):
+        from mmpl_tpu.models.fps_dit import _quantize_cache_tokens
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 16, 64))
+        xq, s = _quantize_cache_tokens(x)
+        back = xq.astype(jnp.float32) * s[..., None]
+        rel = (np.linalg.norm(np.asarray(back - x))
+               / np.linalg.norm(np.asarray(x)))
+        # per-value rounding step = amax/127; for Gaussian data
+        # amax ~ 2.5 sigma over 64 channels -> rel rms ~ 0.006
+        assert rel < 0.01, rel
+
+    def test_fps_pipeline_quantized_cache_close_to_baseline(self):
+        from mmpl_tpu.pipelines.fps_inference import (
+            CausalFPSInferencePipeline)
+        cfg = tiny_test_config()
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        mk = lambda qc: CausalFPSInferencePipeline(
+            cfg, params, sampling_steps=4, guidance_scale=5.0,
+            quantize_cache=qc, dtype=jnp.float32)
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 21, 16, 4, 4))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        cond = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+        uncond = jax.random.normal(k2, (1, cfg.text_len, cfg.text_dim))
+        rng = jax.random.PRNGKey(7)
+        ref = np.asarray(mk(False).inference(noise, cond, uncond, rng=rng))
+        got = np.asarray(mk(True).inference(noise, cond, uncond, rng=rng))
+        assert np.isfinite(got).all()
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+        cos = (got.ravel() @ ref.ravel()) / (
+            np.linalg.norm(got) * np.linalg.norm(ref))
+        assert cos > 0.995, cos
+
+    def test_fewstep_rolling_quantized_cache(self):
+        """Rolling ring buffer + int8 cache: the slot rotation moves the
+        scale planes with the values."""
+        from mmpl_tpu.pipelines.causal_inference import (
+            CausalInferencePipeline)
+        cfg = tiny_test_config()
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        mk = lambda qc: CausalInferencePipeline(
+            cfg, params, denoising_step_list=(1000, 500),
+            num_frame_per_block=3, max_attention_frames=6, sink_frames=3,
+            quantize_cache=qc, dtype=jnp.float32)
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 16, 8, 8))
+        cond = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, cfg.text_len, cfg.text_dim))
+        rng = jax.random.PRNGKey(5)
+        ref = np.asarray(mk(False).inference(noise, cond, rng=rng))
+        got = np.asarray(mk(True).inference(noise, cond, rng=rng))
+        assert np.isfinite(got).all()
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+
+    def test_causal_diffusion_quantized_cache(self):
+        from mmpl_tpu.pipelines.causal_diffusion_inference import (
+            CausalDiffusionInferencePipeline)
+        cfg = tiny_test_config()
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        mk = lambda qc: CausalDiffusionInferencePipeline(
+            cfg, params, sampling_steps=4, guidance_scale=5.0,
+            num_frame_per_block=3, quantize_cache=qc, dtype=jnp.float32)
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 16, 4, 4))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        cond = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+        uncond = jax.random.normal(k2, (1, cfg.text_len, cfg.text_dim))
+        ref = np.asarray(mk(False).inference(noise, cond, uncond))
+        got = np.asarray(mk(True).inference(noise, cond, uncond))
+        assert np.isfinite(got).all()
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+
+
+def test_quantized_cache_shardings():
+    """Scale planes [L, B, SLOTS, S] must dp-shard with the values but
+    never tp-shard (their last dim is tokens, not heads)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mmpl_tpu.models.fps_dit import init_kv_cache
+    from mmpl_tpu.parallel.mesh import kv_cache_shardings
+    cfg = tiny_test_config()
+    devs = np.asarray(jax.devices("cpu")[:1]).reshape(1, 1, 1)
+    mesh = Mesh(devs, ("dp", "fsdp", "tp"))
+    cache = jax.eval_shape(lambda: init_kv_cache(cfg, 2, 16, num_slots=4,
+                                                 quantize=True))
+    sh = kv_cache_shardings(mesh, cache)
+    assert sh["k"].spec == P("dp", ) or sh["k"].spec[1] == "dp"
+    assert sh["k"].spec[-1] == "tp"
+    assert sh["k_scale"].spec[1] == "dp"
+    assert all(s is None for i, s in enumerate(sh["k_scale"].spec)
+               if i != 1)
