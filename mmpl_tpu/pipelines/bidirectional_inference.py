@@ -2,13 +2,19 @@
 
 Re-design of `MMPL_t2v/pipeline/bidirectional_inference.py` (few-step, :7)
 and `bidirectional_diffusion_inference.py` (50-step UniPC CFG, :10) — the
-teacher / evaluation parity paths over the stock Wan DiT.  Both run as a
-single jitted `lax.scan` over the step axis.
+teacher / evaluation parity paths over the stock Wan DiT.  Both run as
+jitted `lax.scan`s over the step axis; like the causal pipelines, the
+50-step solver loop optionally runs segmented (MMPL_STEPS_PER_PROGRAM):
+ceil(steps/K) invocations of ONE compiled segment program with the
+coefficient-table slice as input — bit-identical outputs, required on
+hosts whose TPU worker kills long-running programs (~70 s on this image:
+a 1.3B full-window CFG step is ~5 s, so 50 unsegmented steps would die).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -24,28 +30,29 @@ class BidirectionalDiffusionInferencePipeline:
 
     def __init__(self, cfg, params, sampling_steps: int = 50,
                  timestep_shift: float = 8.0, guidance_scale: float = 5.0,
+                 quantize: Optional[str] = None,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
+        from ..models.dit import apply_quantize
+        params = apply_quantize(params, quantize)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
         self.sampler = FlowUniPC(sampling_steps, shift=timestep_shift)
-        self._fn = None
+        self._seg = None
 
-    def _build(self):
+    def _build_segment(self):
         sampler = self.sampler
         cfg = self.cfg
         g = self.guidance_scale
         dtype = self.dtype
 
         @jax.jit
-        def run(params, noise, cond_ctx, uncond_ctx):
-            B = noise.shape[0]
-            ctx2 = jnp.concatenate([cond_ctx, uncond_ctx], 0)
-            state = sampler.init_state(noise.astype(jnp.float32))
+        def seg(params, ctx2, state, coefs, ts):
+            B = state["sample"].shape[0]
 
             def body(state, step_in):
                 coef, t = step_in
@@ -58,17 +65,31 @@ class BidirectionalDiffusionInferencePipeline:
                         + g * (cond - uncond).astype(jnp.float32))
                 return FlowUniPC.step(coef, state, flow), None
 
-            state, _ = jax.lax.scan(body, state,
-                                    (sampler.table, sampler.timesteps))
-            return state["sample"]
+            state, _ = jax.lax.scan(body, state, (coefs, ts))
+            return state
 
-        return run
+        return seg
 
     def inference(self, noise: jnp.ndarray, cond_context: jnp.ndarray,
                   uncond_context: jnp.ndarray) -> jnp.ndarray:
-        if self._fn is None:
-            self._fn = self._build()
-        return self._fn(self.params, noise, cond_context, uncond_context)
+        if self._seg is None:
+            self._seg = self._build_segment()
+        ctx2 = jnp.concatenate([cond_context, uncond_context], 0)
+        state = jax.jit(self.sampler.init_state)(
+            noise.astype(jnp.float32))
+        table, ts = self.sampler.table, self.sampler.timesteps
+        n = len(ts)
+        spp = int(os.environ.get("MMPL_STEPS_PER_PROGRAM", "0"))
+        step = spp if spp > 0 else n
+        # every full-size segment reuses one compiled program (only the
+        # final ragged slice compiles separately); outputs are
+        # bit-identical to the single-program scan
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            state = self._seg(self.params, ctx2, state,
+                              jax.tree.map(lambda a: a[s:e], table),
+                              ts[s:e])
+        return state["sample"]
 
 
 class BidirectionalInferencePipeline:

@@ -391,3 +391,29 @@ def test_causal_diffusion_cache_not_double_buffered():
         ma_inv.temp_size_in_bytes, cache_bytes)
     assert ma_inv.temp_size_in_bytes <= ma_car.temp_size_in_bytes, (
         ma_inv.temp_size_in_bytes, ma_car.temp_size_in_bytes)
+
+
+def test_bidirectional_diffusion_segmented_bit_identical(monkeypatch):
+    """MMPL_STEPS_PER_PROGRAM segmentation of the bidirectional 50-step
+    solver loop (required on hosts with a program-runtime watchdog) is
+    bit-identical to the single-program scan."""
+    from mmpl_tpu.pipelines.bidirectional_inference import (
+        BidirectionalDiffusionInferencePipeline)
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+
+    def run(spp):
+        if spp:
+            monkeypatch.setenv("MMPL_STEPS_PER_PROGRAM", str(spp))
+        else:
+            monkeypatch.delenv("MMPL_STEPS_PER_PROGRAM", raising=False)
+        pipe = BidirectionalDiffusionInferencePipeline(
+            cfg, params, sampling_steps=5, dtype=jnp.float32)
+        return np.asarray(pipe.inference(noise, cond, uncond))
+
+    whole = run(0)
+    np.testing.assert_array_equal(run(2), whole)   # ragged final segment
+    np.testing.assert_array_equal(run(5), whole)
