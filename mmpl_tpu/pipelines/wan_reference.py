@@ -90,9 +90,7 @@ class WanT2V:
             self.dtype)
 
         @jax.jit
-        def run(params, noise):
-            state = sampler.init_state(noise.astype(jnp.float32))
-
+        def seg(params, state, coefs, ts):
             def body(state, step_in):
                 coef, t = step_in
                 lat2 = jnp.concatenate([state["sample"], state["sample"]], 0)
@@ -104,11 +102,24 @@ class WanT2V:
                         + self.guidance_scale * (c - u).astype(jnp.float32))
                 return FlowUniPC.step(coef, state, flow), None
 
-            state, _ = jax.lax.scan(body, state,
-                                    (sampler.table, sampler.timesteps))
-            return state["sample"]
+            state, _ = jax.lax.scan(body, state, (coefs, ts))
+            return state
 
-        latents = run(self.params, noise)
+        # segmented like the MMPL pipelines (MMPL_STEPS_PER_PROGRAM):
+        # bit-identical to one 50-step scan, needed where the worker kills
+        # long programs (a 1.3B full-clip CFG step is seconds)
+        import os
+        state = jax.jit(sampler.init_state)(noise.astype(jnp.float32))
+        ts = sampler.timesteps
+        n = len(ts)
+        spp = int(os.environ.get("MMPL_STEPS_PER_PROGRAM", "0"))
+        step = spp if spp > 0 else n
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            state = seg(self.params, state,
+                        jax.tree.map(lambda a: a[s:e], sampler.table),
+                        ts[s:e])
+        latents = state["sample"]
         if not decode:
             return latents
         return vae_mod.decode_streaming(self.vae_params,

@@ -417,3 +417,27 @@ def test_bidirectional_diffusion_segmented_bit_identical(monkeypatch):
     whole = run(0)
     np.testing.assert_array_equal(run(2), whole)   # ragged final segment
     np.testing.assert_array_equal(run(5), whole)
+
+
+def test_wan_reference_segmented_bit_identical(monkeypatch):
+    """WanT2V's solver loop under MMPL_STEPS_PER_PROGRAM == one program."""
+    from mmpl_tpu.models import vae as vae_mod
+    from mmpl_tpu.pipelines.wan_reference import WanT2V
+    cfg = tiny_test_config()
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(1))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 16, 4, 4))
+    cond, uncond = _ctx(cfg)
+
+    def run(spp):
+        if spp:
+            monkeypatch.setenv("MMPL_STEPS_PER_PROGRAM", str(spp))
+        else:
+            monkeypatch.delenv("MMPL_STEPS_PER_PROGRAM", raising=False)
+        pipe = WanT2V(cfg, params, vae_params, sampling_steps=5,
+                      dtype=jnp.float32)
+        return np.asarray(pipe.generate(noise, cond, uncond, decode=False))
+
+    whole = run(0)
+    np.testing.assert_array_equal(run(2), whole)
