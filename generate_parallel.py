@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--guidance-scale", type=float, default=5.0)
     p.add_argument("--timestep-shift", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantize", default=None, choices=["int8", "int8wo"],
+                   help="int8 projection gemms per stage (ops/quant.py)")
+    p.add_argument("--quantize-cache", action="store_true",
+                   help="int8 KV cache per stage (halves cache HBM)")
     p.add_argument("--output-dir", default="videos/parallel_fps")
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator host:port "
@@ -95,7 +99,8 @@ def main(argv=None):
     pipe = ChunkParallelPipeline(
         cfg, params, vae_params, devices=devices,
         sampling_steps=steps, guidance_scale=args.guidance_scale,
-        timestep_shift=args.timestep_shift, dtype=dtype)
+        timestep_shift=args.timestep_shift, quantize=args.quantize,
+        quantize_cache=args.quantize_cache, dtype=dtype)
 
     rng = jax.random.PRNGKey(args.seed)
     noises = [jax.random.normal(jax.random.fold_in(rng, i),

@@ -80,7 +80,7 @@ def main(argv=None):
     enable_compilation_cache()
     import jax.numpy as jnp
     from .core.config import WAN_CONFIGS, tiny_test_config
-    from .core.geometry import i2v_plan, latent_frames, pixel_frames
+    from .core.geometry import i2v_plan
     from .models import dit, vae
     from .pipelines.fps_inference import CausalFPSInferencePipeline
 

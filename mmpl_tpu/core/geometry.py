@@ -31,7 +31,7 @@ Reference constants:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Window geometry

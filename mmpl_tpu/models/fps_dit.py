@@ -26,14 +26,14 @@ gathered cache plus their own in-flight keys and never write the cache
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.geometry import GroupSchedule, KV_CACHE_SLOTS
 from ..ops.attention import attention
-from ..ops.rope import apply_rope, rope_table
+from ..ops.rope import rope_table
 from .dit import (Params, block_forward, head_forward, linear, patchify,
                   precompute_context_kv, embed_text, qkv_project,
                   time_embed, unpatchify)

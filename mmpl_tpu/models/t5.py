@@ -14,7 +14,7 @@ pre-norm residuals without bias terms, final RMS-style T5LayerNorm.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ Config (vae.py:612-624): dim=96, z_dim=16, dim_mult=[1,2,4,4],
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ visual-only), but it is provided for full CLIP parity and scoring use.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

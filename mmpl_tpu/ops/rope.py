@@ -18,7 +18,7 @@ which matches torch.view_as_complex on the last dim.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

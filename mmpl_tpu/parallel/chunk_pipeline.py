@@ -25,7 +25,7 @@ pixel frames [0:5) yields bit-identical results at ~4x less work.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

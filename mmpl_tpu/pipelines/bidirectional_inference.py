@@ -13,7 +13,6 @@ a 1.3B full-window CFG step is ~5 s, so 50 unsegmented steps would die).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Sequence
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..models import vae as vae_mod
 from ..models.clip import (VIT_H_14, clip_visual_forward, preprocess_image)
-from ..models.dit import dit_forward, embed_image_clip
+from ..models.dit import dit_forward
 from ..schedulers.unipc import FlowUniPC
 
 

@@ -18,8 +18,6 @@ linspace(1, 0, N+1)[:N] with the shift warp, final sigma 0.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ where m0/m1 are the converted outputs of the previous one/two steps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

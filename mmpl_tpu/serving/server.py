@@ -76,6 +76,9 @@ class ParallelServerConfig:
     text_expansion_url: str = ""
     prompt_log_file: str = "prompt_extend.txt"
     service_type: str = "parallel_t2v"
+    # int8 options forwarded to each pipeline stage (ops/quant.py)
+    quantize: Optional[str] = None
+    quantize_cache: bool = False
 
 
 class TaskStorage:
@@ -477,7 +480,8 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
     gen_lock = threading.Lock()
     pipe = ChunkParallelPipeline(
         cfg, params, vae_params, devices=devices,
-        plan=i2v_plan() if is_i2v else None)
+        plan=i2v_plan() if is_i2v else None,
+        quantize=config.quantize, quantize_cache=config.quantize_cache)
     neg = cfg.sample_neg_prompt
 
     def backend(prompt: str, num_chunks: int, seed: int,

@@ -18,7 +18,6 @@ The causal teacher-forcing variant with the fps-forcing block mask
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

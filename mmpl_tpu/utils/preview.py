@@ -17,7 +17,7 @@ normalization first if a checkpoint trained on raw VAE latents is used.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

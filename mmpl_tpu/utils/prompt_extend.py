@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import urllib.request
-from typing import Optional
 
 LM_ZH_SYS_PROMPT = (
     "你是一位Prompt优化师，旨在将用户输入改写为优质Prompt，使其更完整、更具表现力，同时不改变原意。"

@@ -11,7 +11,7 @@ from __future__ import annotations
 import html
 import re
 import string
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

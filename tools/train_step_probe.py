@@ -149,7 +149,6 @@ def main():
         fd_dense = partial(orig, use_flash_kernel=False)
         fd.fps_forward_train = fd_dense
         try:
-            import importlib
             _, gd = jax.jit(jax.value_and_grad(
                 make_teacher_forcing_loss_fn(ccfg, sch, fm, 3, 100)))(
                     p2, batch, jax.random.PRNGKey(3))
