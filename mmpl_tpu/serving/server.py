@@ -464,8 +464,12 @@ def create_server(config: ParallelServerConfig,
 
 
 def make_pipeline_backend(cfg, params, vae_params, text_encoder,
-                          config: ParallelServerConfig, devices=None):
-    """Production backend: chunk-parallel generation + per-chunk mp4s."""
+                          config: ParallelServerConfig, devices=None,
+                          lat_hw=(60, 104)):
+    """Production backend: chunk-parallel generation + per-chunk mp4s.
+
+    lat_hw: latent grid per frame — (60, 104) is the canonical 480x832;
+    smoke mode passes a tiny grid."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -493,7 +497,7 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
         uncond = text_encoder([neg])["prompt_embeds"]
         rng = jax.random.PRNGKey(seed)
         noises = [jax.random.normal(jax.random.fold_in(rng, i),
-                                    (1, 21, 16, 60, 104))
+                                    (1, 21, 16) + tuple(lat_hw))
                   for i in range(num_chunks)]
         initial = None
         if image is not None:
@@ -501,7 +505,7 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
             # first chunk's initial latent
             # (fastapi_parallel_i2v_server.py:294-345,740-747)
             from ..utils.media import load_image
-            img = load_image(image, 480, 832)
+            img = load_image(image, lat_hw[0] * 8, lat_hw[1] * 8)
             initial = vae_mod.encode(vae_params,
                                      jnp.asarray(img)[None, None])
         chunks = pipe.generate(noises, cond, uncond, rng=rng,
@@ -522,3 +526,91 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
         return paths
 
     return backend
+
+
+def main(argv=None):
+    """Launch the serving process (the reference's `uvicorn
+    fastapi_parallel_t2v_server:app` entry, :783-838).  Without
+    --checkpoint-path it serves in smoke mode: tiny random-weight model +
+    synthetic text embeddings, so the full HTTP -> chunk-pipeline -> video
+    path can be driven on any chip."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="mmpl_tpu video API server")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8001)
+    ap.add_argument("--service-type", default="parallel_t2v",
+                    choices=["parallel_t2v", "parallel_i2v"])
+    ap.add_argument("--num-chunks", type=int, default=4)
+    ap.add_argument("--output-folder", default="videos/parallel_fps")
+    ap.add_argument("--model", default="t2v-1.3B")
+    ap.add_argument("--checkpoint-path", default=None,
+                    help="MMPL generator .pt; absent = smoke mode")
+    ap.add_argument("--wan-dir", default=None)
+    ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8wo"])
+    ap.add_argument("--quantize-cache", action="store_true")
+    ap.add_argument("--use-text-expansion", action="store_true")
+    ap.add_argument("--text-expansion-url", default="")
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
+    import jax
+    import jax.numpy as jnp
+    from ..core.config import WAN_CONFIGS, tiny_test_config
+    from ..models import dit, vae
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    smoke = args.checkpoint_path is None
+    if smoke:
+        logger.warning("no --checkpoint-path: SMOKE mode (random weights)")
+        cfg = tiny_test_config()
+        params = dit.init_dit_params(jax.random.PRNGKey(0), cfg,
+                                     jnp.float32)
+        vae_params = vae.init_vae_params(jax.random.PRNGKey(1), jnp.float32)
+        lat_hw = (8, 8)
+
+        def text_encoder(prompts):
+            k = jax.random.PRNGKey(abs(hash(tuple(prompts))) % (2 ** 31))
+            return {"prompt_embeds": jax.random.normal(
+                k, (len(prompts), cfg.text_len, cfg.text_dim))}
+    else:
+        from ..models.t5 import UMT5_XXL
+        from ..utils import checkpoint as ckpt
+        from ..utils.tokenizer import WanTextEncoder
+        cfg = WAN_CONFIGS[args.model]
+        params = ckpt.load_mmpl_generator(args.checkpoint_path, cfg,
+                                          use_ema=args.use_ema)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        vae_params = ckpt.load_vae(
+            os.path.join(args.wan_dir, cfg.vae_checkpoint))
+        t5 = ckpt.load_t5(os.path.join(args.wan_dir, cfg.t5_checkpoint),
+                          UMT5_XXL)
+        text_encoder = WanTextEncoder(
+            t5, UMT5_XXL, os.path.join(args.wan_dir, "google/umt5-xxl"))
+        lat_hw = (60, 104)
+
+    srv_cfg = ParallelServerConfig(
+        host=args.host, port=args.port, output_folder=args.output_folder,
+        num_chunks=args.num_chunks, service_type=args.service_type,
+        use_text_expansion=args.use_text_expansion,
+        text_expansion_url=args.text_expansion_url,
+        quantize=args.quantize, quantize_cache=args.quantize_cache,
+        use_ema=args.use_ema)
+    backend = make_pipeline_backend(cfg, params, vae_params, text_encoder,
+                                    srv_cfg, lat_hw=lat_hw)
+    server = create_server(srv_cfg, backend=backend)
+    logging.basicConfig(level=logging.INFO)
+    logger.info("serving %s on %s:%d (%s)", args.service_type, args.host,
+                server.server_address[1], "SMOKE" if smoke else args.model)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--export-pt", default=None,
                    help="also export generator to the reference .pt format")
+    p.add_argument("--mesh", default=None,
+                   help="explicit mesh layout 'dp=A,fsdp=B,tp=C' (sizes "
+                        "multiply to #devices); default folds all devices "
+                        "fsdp-major (parallel.mesh.make_mesh)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(jax.distributed; the launch_distributed_job "
@@ -102,7 +106,16 @@ def main(argv=None):
             loss_fn = make_teacher_forcing_loss_fn(
                 cfg, sch, fm, num_frame_per_block=3,
                 noise_aug_max_timestep=args.noise_aug_max)
-        trainer = DiffusionTrainer(cfg, params, learning_rate=args.lr,
+        mesh = None
+        if args.mesh:
+            from mmpl_tpu.parallel.mesh import make_mesh
+            shape = {k: int(v) for k, v in
+                     (kv.split("=") for kv in args.mesh.split(","))}
+            mesh = make_mesh(shape)
+            print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+                  file=sys.stderr)
+        trainer = DiffusionTrainer(cfg, params, mesh=mesh,
+                                   learning_rate=args.lr,
                                    timestep_shift=args.timestep_shift,
                                    loss_fn=loss_fn)
         ema = EmaParams(trainer.params, decay=args.ema_decay)
