@@ -96,11 +96,14 @@ class BidirectionalInferencePipeline:
 
     def __init__(self, cfg, params,
                  denoising_step_list: Sequence[int] = (1000, 750, 500, 250),
-                 timestep_shift: float = 8.0, dtype=jnp.bfloat16):
+                 timestep_shift: float = 8.0,
+                 quantize: Optional[str] = None, dtype=jnp.bfloat16):
         self.cfg = cfg
         if "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
+        from ..models.dit import apply_quantize
+        params = apply_quantize(params, quantize)
         self.params = params
         self.steps = tuple(int(t) for t in denoising_step_list)
         self.dtype = dtype

@@ -167,6 +167,16 @@ def test_bidirectional_pipelines():
     assert out2.shape == noise.shape
     assert np.isfinite(np.asarray(out2)).all()
 
+    # quantize knob parity with the other pipelines
+    pq = BidirectionalInferencePipeline(cfg, params,
+                                        denoising_step_list=(1000, 500),
+                                        quantize="int8wo",
+                                        dtype=jnp.float32)
+    outq = np.asarray(pq.inference(noise, cond))
+    rel = np.linalg.norm(outq - np.asarray(out2)) / np.linalg.norm(
+        np.asarray(out2))
+    assert np.isfinite(outq).all() and rel < 0.1, rel
+
 
 def test_wan_reference_t2v():
     from mmpl_tpu.models import vae as vae_mod

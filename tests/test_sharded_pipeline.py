@@ -96,3 +96,21 @@ def test_chunk_pipeline_over_stage_meshes(setup):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4,
                                    rtol=1e-4)
+
+
+def test_sharded_window_quantized_cache(setup):
+    """int8 KV cache under the mesh: value leaves tp-shard on channels,
+    scale planes dp-only; the sharded quantized window must match the
+    single-device quantized window."""
+    cfg, params, noise, cond, uncond = setup
+    ref = CausalFPSInferencePipeline(
+        cfg, params, sampling_steps=2, quantize_cache=True,
+        dtype=jnp.float32).inference(noise, cond, uncond,
+                                     rng=jax.random.PRNGKey(7))
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    pipe = CausalFPSInferencePipeline(cfg, params, sampling_steps=2,
+                                      mesh=mesh, quantize_cache=True,
+                                      dtype=jnp.float32)
+    out = pipe.inference(noise, cond, uncond, rng=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
