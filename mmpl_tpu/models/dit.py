@@ -480,12 +480,19 @@ def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
                 context: jnp.ndarray,
                 clip_fea: Optional[jnp.ndarray] = None,
                 y: Optional[jnp.ndarray] = None,
-                attn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                attn_mask: Optional[jnp.ndarray] = None,
+                remat: bool = False) -> jnp.ndarray:
     """Bidirectional Wan DiT (WanModel._forward, model.py:637-771).
 
     latents: [B, F, C, H, W]; t: [B] or [B, F]; context: [B, 512, text_dim].
     y: i2v conditioning concat along channels.  Returns flow prediction
     [B, F, C_out, H, W].
+
+    remat=True rematerialises each block on the backward pass (the
+    reference's per-block torch.utils.checkpoint, model.py:817-821 role)
+    — required when this forward is *trained through* at 1.3B scale
+    (score models in distillation: without it the fake-score critic step
+    wants 35 GB of residuals at 12 layers x 14040 tokens).
     """
     if y is not None:
         latents = jnp.concatenate([latents, y], axis=2)
@@ -520,11 +527,16 @@ def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
         out = attention(q, k, v, mask=attn_mask)
         return linear(sp["o"], out.reshape(B, L, -1))
 
+    def block_apply(x, bp, ckv):
+        return block_forward(bp, cfg, x, e0,
+                             partial(self_attn, bp["self_attn"]), ckv, F)
+
+    if remat:
+        block_apply = jax.checkpoint(block_apply, prevent_cse=False)
+
     def scan_body(x, layer_in):
         bp, ckv = layer_in
-        x = block_forward(bp, cfg, x, e0,
-                          partial(self_attn, bp["self_attn"]), ckv, F)
-        return x, None
+        return block_apply(x, bp, ckv), None
 
     x, _ = jax.lax.scan(scan_body, x, (params["blocks"], ctx_kv))
 

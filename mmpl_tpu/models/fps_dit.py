@@ -85,6 +85,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                       schedule: GroupSchedule,
                       y: Optional[jnp.ndarray] = None,
                       rope_cs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                      remat: bool = False,
                       ) -> Tuple[jnp.ndarray, Params]:
     """One forward of the group's frames through the whole trunk.
 
@@ -159,7 +160,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
         return (linear(sp["o"], out.reshape(B, L, -1)),
                 k.reshape(B, G, S, n * d), v.reshape(B, G, S, n * d))
 
-    def scan_body(x, layer_in):
+    def layer_apply(x, layer_in):
         bp, ckv, ck, cv = layer_in[:4]
         cks, cvs = layer_in[4:] if quantized_cache else (None, None)
         own_kv = {}
@@ -171,6 +172,17 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
 
         x = block_forward(bp, cfg, x, e0, self_attn_fn, ckv, G)
         return x, (own_kv["k"], own_kv["v"])
+
+    if remat:
+        # per-layer rematerialisation for paths that TRAIN THROUGH this
+        # forward (the self-forcing rollout's graded step): the backward
+        # then stores only the per-layer boundary x instead of every
+        # layer's attention/ffn intermediates (the [L, tokens, ffn_dim]
+        # stack alone is ~1 GB/block at 1.3B geometry)
+        layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
+
+    def scan_body(x, layer_in):
+        return layer_apply(x, layer_in)
 
     xs = (params["blocks"], ctx_kv, kv_cache["k"], kv_cache["v"])
     if quantized_cache:

@@ -52,6 +52,7 @@ class DistillationConfig:
                  relativistic_discriminator: bool = False,
                  concat_time_embeddings: bool = False,
                  critic_timestep_shift: Optional[float] = None,
+                 remat: bool = True,
                  dtype=jnp.float32):
         self.real_guidance_scale = real_guidance_scale
         self.fake_guidance_scale = fake_guidance_scale
@@ -74,6 +75,9 @@ class DistillationConfig:
         self.critic_timestep_shift = (timestep_shift
                                       if critic_timestep_shift is None
                                       else critic_timestep_shift)
+        #: rematerialise score-model blocks on backward (the reference's
+        #: per-block gradient checkpointing); required at 1.3B scale
+        self.remat = remat
         self.dtype = dtype
 
 
@@ -93,7 +97,8 @@ class Distiller:
     def score_x0(self, params, xt, t, ctx):
         """Bidirectional score forward -> x0 prediction ([B,F,...], t [B,F])."""
         flow = dit_forward(params, self.model_cfg,
-                           xt.astype(self.dcfg.dtype), t, ctx)
+                           xt.astype(self.dcfg.dtype), t, ctx,
+                           remat=self.dcfg.remat)
         x0 = self.scheduler.convert_flow_pred_to_x0(
             _flat(flow).astype(jnp.float32), _flat(xt.astype(jnp.float32)),
             t.reshape(-1)).reshape(xt.shape)

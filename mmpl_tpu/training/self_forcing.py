@@ -40,6 +40,7 @@ class SelfForcingRollout:
                  last_step_only: bool = False,
                  num_max_frames: int = 21,
                  grad_frame_window: int = 21,
+                 remat: bool = True,
                  dtype=jnp.float32):
         steps = [int(t) for t in denoising_step_list]
         if steps[-1] == 0:
@@ -53,6 +54,12 @@ class SelfForcingRollout:
         self.last_step_only = last_step_only
         self.num_max_frames = num_max_frames
         self.grad_frame_window = grad_frame_window
+        #: rematerialise the graded per-block forward on backward (the
+        #: reference's torch.utils.checkpoint per block): without it every
+        #: block's per-layer residuals (incl. [tokens, ffn] intermediates)
+        #: stay live across the whole rollout — 12 layers x 3 blocks at
+        #: 1.3B geometry wants >100 GB (measured, tools/distill_probe.py)
+        self.remat = remat
         self.dtype = dtype
 
     def sample_exit_flags(self, rng, num_blocks: int) -> jnp.ndarray:
@@ -148,8 +155,23 @@ class SelfForcingRollout:
             tt = jnp.full((B, nb), 1.0, jnp.float32) * t_sel
             use_grad = start >= grad_start_frame
             p = params if use_grad else jax.lax.stop_gradient(params)
+
+            # per-LAYER remat inside the group forward (not an outer
+            # whole-group checkpoint: that still lets the inner layer
+            # scan's linearisation save every layer's ffn intermediates
+            # during the recompute — measured 35 GB at 12L/3-block 1.3B)
             flow, cache = fps_forward_group(
-                p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched)
+                p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched,
+                remat=self.remat)
+            # Sever gradient flow through the cache: the reference's cache
+            # writes all happen under no_grad (self_forcing_training.py),
+            # and the clean commit below overwrites this block's slots
+            # anyway — without this, the graded write threads params-grads
+            # through every later block's fori_loop, which AD converts to
+            # a scan that saves each no-grad step's layer residuals
+            # ([steps, layers, tokens, ffn] ~ 100 GB at 1.3B geometry;
+            # measured, tools/distill_probe.py).
+            cache = jax.tree.map(jax.lax.stop_gradient, cache)
             x0 = sch.convert_flow_pred_to_x0(
                 flat(flow).astype(jnp.float32), flat(sel),
                 tt.reshape(-1)).reshape(sel.shape)

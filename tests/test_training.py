@@ -468,3 +468,52 @@ def test_remat_offload_grads_match(tf_setup):
     for pa, pb in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_distillation_remat_grads_match():
+    """Rollout per-layer remat + the cache-gradient severance (the graded
+    write is overwritten by the clean commit before any later read, so
+    severing is semantically free) must not change DMD generator grads."""
+    from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    models = {
+        "generator": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)),
+        "fake_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.float32)),
+        "real_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.float32)),
+    }
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    ctx = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+    batch = {
+        "noise": jax.random.normal(k2, (1, 6, 16, 8, 8)),
+        "ctx_kv": dit.precompute_context_kv(
+            models["generator"], cfg,
+            dit.embed_text(models["generator"], ctx)),
+        "context": ctx,
+        "uncond_context": jnp.zeros_like(ctx),
+    }
+
+    def grads(remat):
+        ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                                num_max_frames=6, grad_frame_window=6,
+                                remat=remat)
+        dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0,
+                                                 remat=remat), ro, sch)
+        return jax.grad(lambda g: dist.dmd_generator_loss(
+            {**models, "generator": g}, batch, k3)[0])(models["generator"])
+
+    g_plain, g_remat = grads(False), grads(True)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_r, _ = jax.tree_util.tree_flatten(g_remat)
+    total = sum(float(jnp.sum(jnp.abs(a))) for a in flat_p)
+    assert total > 0.0                      # grads actually flow
+    for a, b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

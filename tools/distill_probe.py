@@ -1,0 +1,120 @@
+"""Distillation (DMD) train step on the real chip at truncated-1.3B scale.
+
+The distillation stack (self-forcing rollout -> DMD generator loss;
+fake-score critic step) has CPU smoke coverage via `train.py --smoke`;
+this measures it on hardware with the real 60x104 latent grid.  Three
+1.3B-geometry models (generator, fake_score, frozen real_score) at a
+reduced layer count so all three + two optimizer states fit 16 GB.
+
+Run: python tools/distill_probe.py [layers] [frames] [steps]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, "/root/repo")
+
+from mmpl_tpu.core.config import DotDict, T2V_1_3B                # noqa: E402
+from mmpl_tpu.models import dit                                   # noqa: E402
+from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler     # noqa: E402
+from mmpl_tpu.training.distillation import (DistillationConfig,   # noqa: E402
+                                            Distiller)
+from mmpl_tpu.training.self_forcing import SelfForcingRollout     # noqa: E402
+from mmpl_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+sys.path.insert(0, "/root/repo/tests")
+from helpers import randomize_head                                # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(layers: int, F: int, steps: int):
+    enable_compilation_cache()
+    cfg = DotDict(T2V_1_3B, name=f"t2v-1.3B/{layers}L",
+                  num_layers=layers)
+    log(f"backend={jax.default_backend()} cfg={cfg.name} frames={F}")
+    lat_hw = (60, 104)
+    B = 1
+    dtype = jnp.bfloat16  # bf16 throughout: f32 flash-bwd tiles overflow
+    # the 16M scoped VMEM at this Lk (measured)
+
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                            num_max_frames=F, grad_frame_window=F,
+                            dtype=dtype)
+    dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0,
+                                             dtype=dtype), ro, sch)
+
+    models = {
+        "generator": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)),
+        "fake_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(1), cfg, dtype)),
+        "real_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(2), cfg, dtype)),
+    }
+    tx = optax.adamw(1e-5)
+    opt_g = tx.init(models["generator"])
+    opt_c = tx.init({"fake_score": models["fake_score"]})
+
+    @jax.jit
+    def gen_step(models, opt_g, batch, rng):
+        (loss, _), grads = jax.value_and_grad(
+            lambda g: dist.dmd_generator_loss(
+                {**models, "generator": g}, batch, rng),
+            has_aux=True)(models["generator"])
+        upd, opt_g = tx.update(grads, opt_g, models["generator"])
+        return optax.apply_updates(models["generator"], upd), opt_g, loss
+
+    @jax.jit
+    def critic_step(models, opt_c, batch, rng):
+        c = {"fake_score": models["fake_score"]}
+        (loss, _), grads = jax.value_and_grad(
+            lambda cc: dist.critic_loss({**models, **cc}, batch, rng),
+            has_aux=True)(c)
+        upd, opt_c = tx.update(grads, opt_c, c)
+        return optax.apply_updates(c, upd), opt_c, loss
+
+    rng = jax.random.PRNGKey(7)
+    for step in range(steps):
+        rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+        ctx = jax.random.normal(k1, (B, cfg.text_len, cfg.text_dim), dtype)
+        emb = dit.embed_text(models["generator"], ctx)
+        batch = {
+            "noise": jax.random.normal(k2, (B, F, 16, *lat_hw)),
+            "ctx_kv": dit.precompute_context_kv(models["generator"], cfg,
+                                                emb),
+            "context": ctx,
+            "uncond_context": jnp.zeros_like(ctx),
+        }
+        t0 = time.perf_counter()
+        new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
+        closs = float(closs)
+        t_c = time.perf_counter() - t0
+        models.update(new_c)
+        t0 = time.perf_counter()
+        g, opt_g, gloss = gen_step(models, opt_g, batch, k4)
+        gloss = float(gloss)
+        t_g = time.perf_counter() - t0
+        models["generator"] = g
+        log(f"step {step}: critic={closs:.5f} ({t_c:.1f}s) "
+            f"gen={gloss:.5f} ({t_g:.1f}s)")
+        assert np.isfinite(closs) and np.isfinite(gloss)
+    log("distillation steps finite and timed on chip")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 9,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3)
