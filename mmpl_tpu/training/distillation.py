@@ -222,7 +222,8 @@ class Distiller:
         return dit_forward_classify(
             models["fake_score"], models["gan_head"], self.model_cfg,
             noisy.astype(self.dcfg.dtype), t, ctx,
-            concat_time_embeddings=self.dcfg.concat_time_embeddings)
+            concat_time_embeddings=self.dcfg.concat_time_embeddings,
+            remat=self.dcfg.remat)
 
     def _gan_noisy_pair(self, models, batch, rng, stop_grad_rollout: bool):
         """Shared rollout + noising for both GAN losses.
@@ -330,7 +331,7 @@ def prepare_ode_generator_input(ode_latent, denoising_step_list, rng,
 
 
 def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
-                        batch, rng, dtype=jnp.float32):
+                        batch, rng, dtype=jnp.float32, remat: bool = True):
     """model/ode_regression.py:9-138: regress the causal generator onto
     precomputed ODE-solver trajectories (CausVid §4.3).
 
@@ -355,16 +356,20 @@ def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
         tt = t[:, b * nb:(b + 1) * nb]
         flow, cache = fps_forward_group(
             generator_params, cfg, x.astype(dtype), tt, batch["ctx_kv"],
-            cache, sched)
+            cache, sched, remat=remat)
         x0 = scheduler.convert_flow_pred_to_x0(
             _flat(flow).astype(jnp.float32), _flat(x),
             tt.reshape(-1)).reshape(x.shape)
         preds.append(x0)
         # commit the *target* clean frames as context (ode_regression.py)
         clean = target[:, b * nb:(b + 1) * nb]
+        # unlike the rollout, gradients legitimately flow through this
+        # cache (the reference trains through its kv writes) — per-layer
+        # remat bounds the memory instead of severing
         _, cache = fps_forward_group(
             generator_params, cfg, clean.astype(dtype),
-            jnp.zeros_like(tt), batch["ctx_kv"], cache, sched)
+            jnp.zeros_like(tt), batch["ctx_kv"], cache, sched,
+            remat=remat)
     pred = jnp.concatenate(preds, axis=1)
     # frames whose sampled timestep is 0 are excluded (the reference's
     # `mask = timestep != 0`, ode_regression.py:125-128); for step lists

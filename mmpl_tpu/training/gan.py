@@ -99,8 +99,8 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
                          latents: jnp.ndarray, t: jnp.ndarray,
                          context: jnp.ndarray,
                          concat_time_embeddings: bool = False,
-                         gan_num_heads: Optional[int] = None
-                         ) -> jnp.ndarray:
+                         gan_num_heads: Optional[int] = None,
+                         remat: bool = False) -> jnp.ndarray:
     """Bidirectional DiT feature extraction -> GAN logits
     (model.py:637-771 classify_mode branch)."""
     B, F, C, H, W = latents.shape
@@ -123,12 +123,19 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
         return linear(sp["o"], attention(q, k, v).reshape(B, L, -1))
 
     def scan_seg(x, seg):
+        def body_apply(x, bp, ckv):
+            return block_forward(bp, cfg, x, e0,
+                                 lambda xm: self_attn(bp["self_attn"], xm),
+                                 ckv, F)
+
+        if remat:
+            # per-layer remat when trained through at scale (see
+            # dit_forward; DistillationConfig.remat)
+            body_apply = jax.checkpoint(body_apply, prevent_cse=False)
+
         def body(x, layer_in):
             bp, ckv = layer_in
-            x = block_forward(bp, cfg, x, e0,
-                              lambda xm: self_attn(bp["self_attn"], xm),
-                              ckv, F)
-            return x, None
+            return body_apply(x, bp, ckv), None
         return jax.lax.scan(body, x, seg)[0]
 
     R = gan_params["register_tokens"].shape[0]

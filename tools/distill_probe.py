@@ -1,4 +1,4 @@
-"""Distillation (DMD) train step on the real chip at truncated-1.3B scale.
+"""Distillation (DMD / GAN) train step on the real chip at truncated-1.3B scale.
 
 The distillation stack (self-forcing rollout -> DMD generator loss;
 fake-score critic step) has CPU smoke coverage via `train.py --smoke`;
@@ -6,7 +6,7 @@ this measures it on hardware with the real 60x104 latent grid.  Three
 1.3B-geometry models (generator, fake_score, frozen real_score) at a
 reduced layer count so all three + two optimizer states fit 16 GB.
 
-Run: python tools/distill_probe.py [layers] [frames] [steps]
+Run: python tools/distill_probe.py [layers] [frames] [steps] [dmd|gan]
 """
 
 import os
@@ -38,7 +38,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main(layers: int, F: int, steps: int):
+def main(layers: int, F: int, steps: int, objective: str = "dmd"):
     enable_compilation_cache()
     cfg = DotDict(T2V_1_3B, name=f"t2v-1.3B/{layers}L",
                   num_layers=layers)
@@ -61,17 +61,32 @@ def main(layers: int, F: int, steps: int):
             dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)),
         "fake_score": randomize_head(
             dit.init_dit_params(jax.random.PRNGKey(1), cfg, dtype)),
-        "real_score": randomize_head(
-            dit.init_dit_params(jax.random.PRNGKey(2), cfg, dtype)),
     }
+    if objective == "gan":
+        from mmpl_tpu.training.gan import init_gan_head_params
+        models["gan_head"] = init_gan_head_params(
+            jax.random.PRNGKey(12), atten_dim=cfg.dim,
+            ffn_dim=cfg.ffn_dim, num_heads=cfg.num_heads)
+        models["gan_head"] = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            models["gan_head"])
+        gen_loss = dist.gan_generator_loss
+        crit_loss = dist.gan_critic_loss
+        critic_keys = ("fake_score", "gan_head")
+    else:
+        models["real_score"] = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(2), cfg, dtype))
+        gen_loss = dist.dmd_generator_loss
+        crit_loss = dist.critic_loss
+        critic_keys = ("fake_score",)
     tx = optax.adamw(1e-5)
     opt_g = tx.init(models["generator"])
-    opt_c = tx.init({"fake_score": models["fake_score"]})
+    opt_c = tx.init({k: models[k] for k in critic_keys})
 
     @jax.jit
     def gen_step(models, opt_g, batch, rng):
         (loss, _), grads = jax.value_and_grad(
-            lambda g: dist.dmd_generator_loss(
+            lambda g: gen_loss(
                 {**models, "generator": g}, batch, rng),
             has_aux=True)(models["generator"])
         upd, opt_g = tx.update(grads, opt_g, models["generator"])
@@ -79,12 +94,13 @@ def main(layers: int, F: int, steps: int):
 
     @jax.jit
     def critic_step(models, opt_c, batch, rng):
-        c = {"fake_score": models["fake_score"]}
+        c = {k: models[k] for k in critic_keys}
         (loss, _), grads = jax.value_and_grad(
-            lambda cc: dist.critic_loss({**models, **cc}, batch, rng),
+            lambda cc: crit_loss({**models, **cc}, batch, rng),
             has_aux=True)(c)
         upd, opt_c = tx.update(grads, opt_c, c)
-        return optax.apply_updates(c, upd), opt_c, loss
+        return {k: v for k, v in optax.apply_updates(c, upd).items()}, \
+            opt_c, loss
 
     rng = jax.random.PRNGKey(7)
     for step in range(steps):
@@ -99,6 +115,9 @@ def main(layers: int, F: int, steps: int):
             "uncond_context": jnp.zeros_like(ctx),
         }
         t0 = time.perf_counter()
+        if objective == "gan":
+            batch["real_latents"] = jax.random.normal(
+                jax.random.fold_in(k3, 99), (B, F, 16, *lat_hw))
         new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
         closs = float(closs)
         t_c = time.perf_counter() - t0
@@ -117,4 +136,5 @@ def main(layers: int, F: int, steps: int):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 12,
          int(sys.argv[2]) if len(sys.argv) > 2 else 9,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         sys.argv[4] if len(sys.argv) > 4 else "dmd")
