@@ -214,3 +214,57 @@ def test_ring_flash_attention_fwd_and_grads_match_dense():
         assert rel < 1e-2, (name, rel)
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-3,
                                    err_msg=f"d{name}")
+
+
+def test_sharded_dmd_step_matches_replicated():
+    """Full-depth distillation is the sharded path (PERF.md): a DMD
+    generator loss+grad over (dp, fsdp, tp)-sharded models must equal
+    the replicated computation."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                            num_max_frames=6, grad_frame_window=6)
+    dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0), ro, sch)
+    models = {
+        k: randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(i), cfg, jnp.float32))
+        for i, k in enumerate(("generator", "fake_score", "real_score"))
+    }
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    ctx = jax.random.normal(k1, (2, cfg.text_len, cfg.text_dim))
+    batch = {
+        "noise": jax.random.normal(k2, (2, 6, 16, 8, 8)),
+        "ctx_kv": dit.precompute_context_kv(
+            models["generator"], cfg,
+            dit.embed_text(models["generator"], ctx)),
+        "context": ctx,
+        "uncond_context": jnp.zeros_like(ctx),
+    }
+
+    def loss_and_grad(models, batch):
+        return jax.value_and_grad(lambda g: dist.dmd_generator_loss(
+            {**models, "generator": g}, batch, k3)[0])(models["generator"])
+
+    loss_r, grad_r = jax.jit(loss_and_grad)(models, batch)
+
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    models_s = {k: jax.device_put(v, dit_param_shardings(mesh, v))
+                for k, v in models.items()}
+    dp = NamedSharding(mesh, P("dp"))
+    batch_s = {k: (jax.device_put(v, dp)
+                   if isinstance(v, jnp.ndarray) and v.shape[0] == 2
+                   else jax.device_put(v, NamedSharding(mesh, P())))
+               for k, v in batch.items()}
+    loss_s, grad_s = jax.jit(loss_and_grad)(models_s, batch_s)
+
+    assert float(loss_s) == pytest.approx(float(loss_r), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_flatten(grad_r)[0],
+                    jax.tree_util.tree_flatten(grad_s)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-3)
