@@ -41,6 +41,7 @@ class SelfForcingRollout:
                  num_max_frames: int = 21,
                  grad_frame_window: int = 21,
                  remat: bool = True,
+                 quantize_cache: bool = False,
                  dtype=jnp.float32):
         steps = [int(t) for t in denoising_step_list]
         if steps[-1] == 0:
@@ -60,6 +61,10 @@ class SelfForcingRollout:
         #: stay live across the whole rollout — 12 layers x 3 blocks at
         #: 1.3B geometry wants >100 GB (measured, tools/distill_probe.py)
         self.remat = remat
+        #: int8 rollout KV cache (models.fps_dit.init_kv_cache): valid in
+        #: training because cache gradients are severed below anyway (the
+        #: reference's no_grad cache); frees ~half the rollout cache HBM
+        self.quantize_cache = bool(quantize_cache)
         self.dtype = dtype
 
     def sample_exit_flags(self, rng, num_blocks: int) -> jnp.ndarray:
@@ -85,7 +90,8 @@ class SelfForcingRollout:
 
         cache = init_kv_cache(cfg, B, H * W // 4,
                               num_slots=max(total, self.num_max_frames),
-                              dtype=self.dtype)
+                              dtype=self.dtype,
+                              quantize=self.quantize_cache)
         outputs: List[jnp.ndarray] = []
         start = 0
         flat = lambda a: a.reshape((-1,) + a.shape[2:])

@@ -517,3 +517,42 @@ def test_distillation_remat_grads_match():
     for a, b in zip(flat_p, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_rollout_quantized_cache_close_and_grads_flow():
+    """SelfForcingRollout(quantize_cache=True): int8 rollout KV cache is
+    grad-compatible (cache grads are severed regardless) and stays close
+    to the bf16-cache rollout."""
+    from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.text_len, cfg.text_dim))
+    ctx_kv = dit.precompute_context_kv(params, cfg,
+                                       dit.embed_text(params, ctx))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 16, 8, 8))
+
+    def run(qc):
+        ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                                num_max_frames=6, grad_frame_window=6,
+                                quantize_cache=qc)
+        flags = ro.sample_exit_flags(jax.random.PRNGKey(3), 2)
+        out, _, _ = ro.rollout(params, ctx_kv, noise, flags,
+                               jax.random.PRNGKey(4))
+        return ro, flags, out
+
+    _, _, ref = run(False)
+    ro_q, flags, got = run(True)
+    rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert np.isfinite(np.asarray(got)).all() and rel < 0.05, rel
+
+    g = jax.grad(lambda p: jnp.sum(ro_q.rollout(
+        p, ctx_kv, noise, flags, jax.random.PRNGKey(4))[0] ** 2))(params)
+    total = sum(float(jnp.sum(jnp.abs(a)))
+                for a in jax.tree_util.tree_flatten(g)[0])
+    assert np.isfinite(total) and total > 0.0

@@ -50,9 +50,12 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd"):
 
     sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
     sch.set_timesteps(1000, training=True)
+    qc = os.environ.get("DISTILL_QC", "0") == "1"
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
-                            dtype=dtype)
+                            quantize_cache=qc, dtype=dtype)
+    if qc:
+        log("rollout cache: int8")
     dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0,
                                              dtype=dtype), ro, sch)
 
