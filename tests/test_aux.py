@@ -470,3 +470,28 @@ def test_masked_meta_eq_compares_arrays():
     # even under a (hypothetical) hash collision, eq must see the arrays
     c.__hash__ = a.__hash__
     assert a != c
+
+
+def test_tools_import_cleanly():
+    """Every probe/tool module imports (bitrot guard: the tools encode the
+    measured-performance recipes the docs cite).  Env is restored — the
+    probes set MMPL_STEPS_PER_PROGRAM at import."""
+    import importlib.util
+    import os
+    import pathlib
+    tools = pathlib.Path(__file__).resolve().parent.parent / "tools"
+    saved = dict(os.environ)
+    failures = []
+    try:
+        for p in sorted(tools.glob("*.py")):
+            spec = importlib.util.spec_from_file_location(
+                f"tool_{p.stem}", p)
+            mod = importlib.util.module_from_spec(spec)
+            try:
+                spec.loader.exec_module(mod)
+            except Exception as e:  # pragma: no cover - failure reporting
+                failures.append((p.name, repr(e)[:120]))
+    finally:
+        os.environ.clear()
+        os.environ.update(saved)
+    assert not failures, failures
