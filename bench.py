@@ -179,9 +179,40 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
     return out, window_times
 
 
+def _device_preflight(timeout_s: int = 300) -> bool:
+    """Prove the accelerator answers a trivial program before committing
+    to the long bench.  This image's tunneled worker can wedge for >1 h
+    when a previous client died mid-compile (the remote compile helper
+    keeps grinding and serializes everything behind it — CLAUDE.md); a
+    hung bench is worse than an error row, so probe in a subprocess with
+    a hard timeout."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((128,128)))))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     quick = os.environ.get("BENCH_QUICK", "0") == "1"
     model = os.environ.get("BENCH_MODEL", "1.3b").lower()
+    if os.environ.get("BENCH_SKIP_PREFLIGHT", "0") != "1" \
+            and not _device_preflight():
+        log("DEVICE PREFLIGHT FAILED: accelerator unreachable/wedged")
+        print(json.dumps({
+            "metric": "latent_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "device preflight failed: accelerator unreachable "
+                     "(wedged tunnel/compile helper); rerun when the "
+                     "worker recovers. Last good full run (2026-08-17): "
+                     "0.1131 frames/s/chip bf16 (window 185.7s), 0.1209 "
+                     "int8 (173.7s), vs_baseline 0.253",
+        }))
+        return
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     n_windows = int(os.environ.get("BENCH_WINDOWS", "1"))
     backend = jax.default_backend()
