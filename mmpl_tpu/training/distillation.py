@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.dit import dit_forward
 from ..schedulers.flow_match import FlowMatchScheduler
-from .self_forcing import SelfForcingRollout
+from .self_forcing import SelfForcingRollout, slice_last_window
 
 
 def shift_timestep(t: jnp.ndarray, shift: float) -> jnp.ndarray:
@@ -52,6 +52,7 @@ class DistillationConfig:
                  relativistic_discriminator: bool = False,
                  concat_time_embeddings: bool = False,
                  critic_timestep_shift: Optional[float] = None,
+                 window_frames: Optional[int] = None,
                  remat: bool = True,
                  dtype=jnp.float32):
         self.real_guidance_scale = real_guidance_scale
@@ -75,6 +76,11 @@ class DistillationConfig:
         self.critic_timestep_shift = (timestep_shift
                                       if critic_timestep_shift is None
                                       else critic_timestep_shift)
+        #: score-model window: rollouts longer than this are sliced to
+        #: their last `window_frames` frames before the losses, with the
+        #: prefix re-encoded through the VAE when available (the
+        #: reference's last-21 trick, base.py:153-177)
+        self.window_frames = window_frames
         #: rematerialise score-model blocks on backward (the reference's
         #: per-block gradient checkpointing); required at 1.3B scale
         self.remat = remat
@@ -86,11 +92,15 @@ class Distiller:
 
     def __init__(self, model_cfg, dcfg: DistillationConfig,
                  rollout: SelfForcingRollout,
-                 scheduler: FlowMatchScheduler):
+                 scheduler: FlowMatchScheduler,
+                 vae_params=None):
         self.model_cfg = model_cfg
         self.dcfg = dcfg
         self.rollout = rollout
         self.scheduler = scheduler
+        #: VAE pytree for the last-window prefix re-encode (optional; the
+        #: latent-only fallback in slice_last_window applies without it)
+        self.vae_params = vae_params
 
     # -- score model helpers ------------------------------------------------
 
@@ -142,19 +152,27 @@ class Distiller:
         return grad, real
 
     def _rollout(self, models, batch, rng):
+        """Rollout + the reference's last-window slice (base.py:103-180).
+        Returns (x0, t_from, t_to, gradient_mask-or-None)."""
         r1, r2 = jax.random.split(rng)
         nb = batch["noise"].shape[1] // self.rollout.num_frame_per_block
         flags = self.rollout.sample_exit_flags(r1, nb)
-        return self.rollout.rollout(
+        x0, t_from, t_to = self.rollout.rollout(
             models["generator"], batch["ctx_kv"], batch["noise"], flags, r2,
             initial_latent=batch.get("initial_latent"))
+        mask = None
+        if self.dcfg.window_frames is not None:
+            x0, mask = slice_last_window(
+                x0, self.dcfg.window_frames,
+                self.rollout.num_frame_per_block, self.vae_params)
+        return x0, t_from, t_to, mask
 
     # -- losses -------------------------------------------------------------
 
     def dmd_generator_loss(self, models, batch, rng):
         """model/dmd.py:128-235."""
         r1, r2, r3 = jax.random.split(rng, 3)
-        x0, t_from, t_to = self._rollout(models, batch, r1)
+        x0, t_from, t_to, mask = self._rollout(models, batch, r1)
         B, F = x0.shape[:2]
         t = self._score_timestep(r2, B, F, t_from, t_to)
         noise = jax.random.normal(r3, x0.shape, jnp.float32)
@@ -164,14 +182,23 @@ class Distiller:
         grad, _ = self.kl_grad(models, sg(noisy), sg(x0), t,
                                batch["context"], batch["uncond_context"])
         target = sg(x0 - grad)
-        loss = 0.5 * jnp.mean((x0 - target) ** 2)
+        if mask is None:
+            loss = 0.5 * jnp.mean((x0 - target) ** 2)
+        else:
+            # masked mean over in-window frames (dmd.py:188-190): the first
+            # block of a sliced window carries image latents, no gradient
+            m = mask.astype(jnp.float32)[..., None, None, None]
+            loss = 0.5 * jnp.sum((x0 - target) ** 2 * m) / (
+                jnp.maximum(jnp.sum(m), 1.0) * float(np.prod(x0.shape[2:])))
         return loss, {"dmd_grad_norm": jnp.mean(jnp.abs(grad))}
 
     def sid_generator_loss(self, models, batch, rng):
         """model/sid.py:47-145 (Score identity Distillation)."""
         d = self.dcfg
         r1, r2, r3 = jax.random.split(rng, 3)
-        x0, t_from, t_to = self._rollout(models, batch, r1)
+        # the reference's SiD accepts the gradient mask but never applies
+        # it (sid.py:52,125-145) — match that
+        x0, t_from, t_to, _ = self._rollout(models, batch, r1)
         B, F = x0.shape[:2]
         t = self._score_timestep(r2, B, F, t_from, t_to)
         noise = jax.random.normal(r3, x0.shape, jnp.float32)
@@ -198,7 +225,7 @@ class Distiller:
         """Fake-score denoising loss on generator rollouts (dmd.py:237-332),
         flow variant (`denoising_loss_type: flow`, utils/loss.py:61-78)."""
         r1, r2, r3 = jax.random.split(rng, 3)
-        x0, t_from, t_to = self._rollout(models, batch, r1)
+        x0, t_from, t_to, _ = self._rollout(models, batch, r1)
         x0 = jax.lax.stop_gradient(x0)
         B, F = x0.shape[:2]
         t = self._score_timestep(r2, B, F, t_from, t_to)
@@ -234,7 +261,7 @@ class Distiller:
         branch's noise (gan.py:226-239)."""
         d = self.dcfg
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-        x0, t_from, t_to = self._rollout(models, batch, r1)
+        x0, t_from, t_to, _ = self._rollout(models, batch, r1)
         if stop_grad_rollout:
             x0 = jax.lax.stop_gradient(x0)
         B, F = x0.shape[:2]
@@ -245,6 +272,10 @@ class Distiller:
             _flat(x0), _flat(noise_f), t.reshape(-1)).reshape(x0.shape)
         real = jax.lax.stop_gradient(
             batch["real_latents"].astype(jnp.float32))
+        if real.shape[1] > x0.shape[1]:
+            # windowed rollout vs full-length reals: compare the last
+            # window (the reference's dataloader serves 21-frame reals)
+            real = real[:, -x0.shape[1]:]
         noise_r = noise_f if stop_grad_rollout else \
             jax.random.normal(r4, real.shape, jnp.float32)
         noisy_real = self.scheduler.add_noise(

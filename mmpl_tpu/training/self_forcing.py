@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.geometry import GroupSchedule
 from ..models.fps_dit import fps_forward_group, init_kv_cache
 from ..pipelines.causal_inference import block_schedule
 from ..schedulers.flow_match import FlowMatchScheduler
@@ -42,6 +43,7 @@ class SelfForcingRollout:
                  grad_frame_window: int = 21,
                  remat: bool = True,
                  quantize_cache: bool = False,
+                 rolling: bool = False,
                  dtype=jnp.float32):
         steps = [int(t) for t in denoising_step_list]
         if steps[-1] == 0:
@@ -65,6 +67,15 @@ class SelfForcingRollout:
         #: training because cache gradients are severed below anyway (the
         #: reference's no_grad cache); frees ~half the rollout cache HBM
         self.quantize_cache = bool(quantize_cache)
+        #: rolling=True: once the video exceeds `num_max_frames`, later
+        #: blocks run as ONE lax.scan over a recency-ordered fixed cache
+        #: (evict-rotate + traced-start RoPE — the rolling-KV machinery of
+        #: pipelines/causal_inference applied to training).  Bounds both
+        #: compile time and cache memory for arbitrarily long rollouts
+        #: (the unrolled graph at 7 blocks exceeded 25 min of XLA
+        #: compile).  The reference's rolling truncation:
+        #: causal_model.py:203-226 + self_forcing_training.py:239-253.
+        self.rolling = bool(rolling)
         self.dtype = dtype
 
     def sample_exit_flags(self, rng, num_blocks: int) -> jnp.ndarray:
@@ -88,49 +99,37 @@ class SelfForcingRollout:
         total = F + n_init
         grad_start_frame = total - self.grad_frame_window
 
+        cap = self.num_max_frames
+        rolling = self.rolling and total > cap
+        # rolling needs block-aligned geometry: the steady-state scan
+        # assumes the cache is exactly full (cap frames written) on entry
+        assert not rolling or (cap % nb == 0 and n_init % nb == 0), \
+            (cap, nb, n_init)
         cache = init_kv_cache(cfg, B, H * W // 4,
-                              num_slots=max(total, self.num_max_frames),
+                              num_slots=cap if rolling
+                              else max(total, cap),
                               dtype=self.dtype,
                               quantize=self.quantize_cache)
         outputs: List[jnp.ndarray] = []
         start = 0
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
-
-        def fwd(x, t_scalar, schedule, cache, grad: bool):
-            tt = jnp.full((B, schedule.num_frames), t_scalar, jnp.float32)
-            p = params if grad else jax.lax.stop_gradient(params)
-            flow, cache = fps_forward_group(
-                p, cfg, x.astype(self.dtype), tt, ctx_kv, cache, schedule)
-            x0 = sch.convert_flow_pred_to_x0(
-                flat(flow).astype(jnp.float32), flat(x), tt.reshape(-1)
-            ).reshape(x.shape)
-            return x0, cache
-
-        if initial_latent is not None:
-            sched0 = block_schedule(0, n_init, self.num_max_frames)
-            _, cache = fwd(jax.lax.stop_gradient(
-                initial_latent.astype(jnp.float32)), 0.0, sched0, cache,
-                grad=False)
-            outputs.append(initial_latent.astype(jnp.float32))
-            start = n_init
-
+        d_head = cfg.dim // cfg.num_heads
         step_vals = jnp.asarray(self.steps, jnp.float32)
 
-        for b in range(num_blocks):
-            sched = block_schedule(start, nb, self.num_max_frames)
-            x = noise[:, b * nb:(b + 1) * nb].astype(jnp.float32)
-            flag = exit_flags[0] if self.same_step_across_blocks \
-                else exit_flags[b]
-            flag = jnp.clip(flag, 0, len(self.steps) - 1)
+        def one_block(cache, x, flag, key, sched, rope_cs, graded):
+            """Per-block denoise: early-exit no-grad chain -> graded
+            forward at the selected step -> context-noise clean commit.
+            Returns (x0 [B, nb, ...], cache, key).  Static `sched` /
+            rope_cs=None for absolute-slot blocks; the rolling steady
+            state passes the recency schedule + a traced-start rope.
 
-            # Early-exit no-grad chain (the reference breaks at exit_flag,
-            # self_forcing_training.py:136-194): only the `flag` steps
-            # before the graded one execute — `lax.cond` skips the rest at
-            # runtime, so the expected per-block cost is (S-1)/2 + 2
-            # forwards instead of S + 1.
-            def _nograd_step(i, carry, sched=sched):
-                xi, cache, key = carry
-                key, k = jax.random.split(key)
+            The no-grad chain is the reference's break at exit_flag
+            (self_forcing_training.py:136-194): `lax.cond` skips steps
+            past `flag` at runtime, so the expected per-block cost is
+            (S-1)/2 + 2 forwards instead of S + 1."""
+            def _nograd_step(i, carry):
+                xi, cache, k2 = carry
+                k2, k = jax.random.split(k2)
 
                 def run(c):
                     xi, cache = c
@@ -138,7 +137,7 @@ class SelfForcingRollout:
                     flow, cache = fps_forward_group(
                         jax.lax.stop_gradient(params), cfg,
                         jax.lax.stop_gradient(xi).astype(self.dtype), tt,
-                        ctx_kv, cache, sched)
+                        ctx_kv, cache, sched, rope_cs=rope_cs)
                     x0 = sch.convert_flow_pred_to_x0(
                         flat(flow).astype(jnp.float32), flat(xi),
                         tt.reshape(-1)).reshape(xi.shape)
@@ -150,25 +149,22 @@ class SelfForcingRollout:
 
                 xi, cache = jax.lax.cond(i < flag, run, lambda c: c,
                                          (xi, cache))
-                return xi, cache, key
+                return xi, cache, k2
 
-            xi, cache, rng = jax.lax.fori_loop(
-                0, len(self.steps) - 1, _nograd_step, (x, cache, rng))
+            xi, cache, key = jax.lax.fori_loop(
+                0, len(self.steps) - 1, _nograd_step, (x, cache, key))
 
-            # graded forward at the selected step only
+            # graded forward at the selected step only; per-LAYER remat
+            # inside the group forward (an outer whole-group checkpoint
+            # still lets the inner layer scan's linearisation save every
+            # layer's ffn intermediates during the recompute — measured
+            # 35 GB at 12L/3-block 1.3B, tools/distill_probe.py)
             sel = jax.lax.stop_gradient(xi)
-            t_sel = step_vals[flag]
-            tt = jnp.full((B, nb), 1.0, jnp.float32) * t_sel
-            use_grad = start >= grad_start_frame
-            p = params if use_grad else jax.lax.stop_gradient(params)
-
-            # per-LAYER remat inside the group forward (not an outer
-            # whole-group checkpoint: that still lets the inner layer
-            # scan's linearisation save every layer's ffn intermediates
-            # during the recompute — measured 35 GB at 12L/3-block 1.3B)
+            tt = jnp.full((B, nb), 1.0, jnp.float32) * step_vals[flag]
+            p = params if graded else jax.lax.stop_gradient(params)
             flow, cache = fps_forward_group(
                 p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched,
-                remat=self.remat)
+                rope_cs=rope_cs, remat=self.remat)
             # Sever gradient flow through the cache: the reference's cache
             # writes all happen under no_grad (self_forcing_training.py),
             # and the clean commit below overwrites this block's slots
@@ -181,20 +177,99 @@ class SelfForcingRollout:
             x0 = sch.convert_flow_pred_to_x0(
                 flat(flow).astype(jnp.float32), flat(sel),
                 tt.reshape(-1)).reshape(sel.shape)
-            outputs.append(x0)
 
             # context-noise commit (:199-216)
-            rng, k = jax.random.split(rng)
+            key, k = jax.random.split(key)
             ct = jnp.full((B * nb,), float(self.context_noise))
             committed = sch.add_noise(
                 flat(jax.lax.stop_gradient(x0)),
                 flat(jax.random.normal(k, x0.shape, jnp.float32)),
                 ct).reshape(x0.shape)
-            _, cache = fwd(committed, float(self.context_noise), sched,
-                           cache, grad=False)
+            tt0 = jnp.full((B, nb), float(self.context_noise), jnp.float32)
+            _, cache = fps_forward_group(
+                jax.lax.stop_gradient(params), cfg,
+                committed.astype(self.dtype), tt0, ctx_kv, cache, sched,
+                rope_cs=rope_cs)
+            return x0, cache, key
+
+        if initial_latent is not None:
+            sched0 = block_schedule(0, n_init, cap)
+            tt0 = jnp.zeros((B, n_init), jnp.float32)
+            _, cache = fps_forward_group(
+                jax.lax.stop_gradient(params), cfg,
+                jax.lax.stop_gradient(
+                    initial_latent.astype(jnp.float32)).astype(self.dtype),
+                tt0, ctx_kv, cache, sched0)
+            outputs.append(initial_latent.astype(jnp.float32))
+            start = n_init
+
+        def block_flag(b):
+            f = exit_flags[0] if self.same_step_across_blocks \
+                else exit_flags[b]
+            return jnp.clip(f, 0, len(self.steps) - 1)
+
+        # absolute-slot blocks: every block while the window still fits
+        # the cache (all of them when not rolling)
+        b = 0
+        while b < num_blocks and (not rolling or start + nb <= cap):
+            sched = block_schedule(start, nb, cap if rolling
+                                   else self.num_max_frames)
+            x = noise[:, b * nb:(b + 1) * nb].astype(jnp.float32)
+            x0, cache, rng = one_block(cache, x, block_flag(b), rng, sched,
+                                       None, start >= grad_start_frame)
+            outputs.append(x0)
             start += nb
+            b += 1
+
+        if b < num_blocks:
+            # ROLLING STEADY STATE: one lax.scan whose body is a single
+            # recency-ordered block (evict-rotate + traced-start RoPE) —
+            # compile time and cache memory stay CONSTANT in video length
+            # (the unrolled graph at 7 blocks already exceeded 25 min of
+            # XLA compile; the reference's rolling truncation is
+            # causal_model.py:203-226).  All steady blocks run graded;
+            # the gradient window is applied on the assembled output
+            # below (blocks outside it get zero cotangents).
+            from ..ops.rope import dynamic_rope_table
+            nsteady = num_blocks - b
+            other = tuple(range(cap - nb))
+            sched_r = GroupSchedule(
+                index=-1, frames=tuple(range(10 ** 6, 10 ** 6 + nb)),
+                append_mode=False,
+                write_slots=tuple(range(cap - nb, cap)),
+                visible_frames=other, visible_slots=other,
+                anchor_group=False)
+            xs_noise = jnp.moveaxis(
+                noise[:, b * nb:].reshape(B, nsteady, nb, C, H, W), 1, 0)
+            flags = jnp.stack([block_flag(b + i) for i in range(nsteady)])
+            keys = jax.random.split(rng, nsteady + 1)
+            rng = keys[0]
+            starts = start + nb * jnp.arange(nsteady)
+
+            def steady_body(cache, xs):
+                xblk, flag, key, startf = xs
+                cache = {name: jnp.concatenate(
+                    [leaf[:, :, nb:], leaf[:, :, :nb]], axis=2)
+                    for name, leaf in cache.items()}
+                rope_cs = dynamic_rope_table(startf, nb, H // 2, W // 2,
+                                             d_head)
+                x0, cache, _ = one_block(cache, xblk.astype(jnp.float32),
+                                         flag, key, sched_r, rope_cs, True)
+                return cache, x0
+
+            _, ys = jax.lax.scan(steady_body, cache,
+                                 (xs_noise, flags, keys[1:], starts))
+            outputs.append(jnp.moveaxis(ys, 0, 1).reshape(
+                B, nsteady * nb, C, H, W))
 
         output = jnp.concatenate(outputs, axis=1)
+        if rolling and grad_start_frame > 0:
+            # the reference's gradient mask over the last
+            # grad_frame_window frames (base.py:169-177) — scanned steady
+            # blocks all run graded, so restrict here
+            output = jnp.concatenate(
+                [jax.lax.stop_gradient(output[:, :grad_start_frame]),
+                 output[:, grad_start_frame:]], axis=1)
 
         if not self.same_step_across_blocks:
             return output, None, None
@@ -213,3 +288,55 @@ class SelfForcingRollout:
             is_last, 0,
             t_idx(step_vals[jnp.minimum(flag0 + 1, len(self.steps) - 1)]))
         return output, t_from, t_to
+
+
+def sample_num_frames(rng: np.random.Generator, min_frames: int,
+                      max_frames: int, num_frame_per_block: int = 3) -> int:
+    """Uniform random rollout length in whole blocks (base.py:131-147).
+
+    `rng` is a host-side numpy Generator; seed it identically on every
+    data-parallel host — that replaces the reference's
+    `dist.broadcast(num_generated_blocks, src=0)` sync.  The result is a
+    static Python int, so each distinct length compiles its own program
+    (bounded: (max-min)/block + 1 programs)."""
+    assert min_frames % num_frame_per_block == 0, (min_frames,
+                                                   num_frame_per_block)
+    assert max_frames % num_frame_per_block == 0, (max_frames,
+                                                   num_frame_per_block)
+    lo = min_frames // num_frame_per_block
+    hi = max_frames // num_frame_per_block
+    return int(rng.integers(lo, hi + 1)) * num_frame_per_block
+
+
+def slice_last_window(x0: jnp.ndarray, window: int,
+                      num_frame_per_block: int = 3, vae_params=None):
+    """The reference's keep-last-21 trick for longer rollouts
+    (base.py:153-177): when the rollout exceeds `window` frames, decode the
+    prefix, re-encode its last pixel frame as a fresh image latent (under
+    stop_gradient), and return [image_latent, last window-1 latents] so the
+    score models always see a `window`-frame video whose first latent is a
+    true single-frame encode.  Also returns the per-frame gradient mask
+    (base.py:169-177): the first block of the window carries no gradient.
+
+    Without VAE params (e.g. latent-only smoke training) the prefix is
+    simply dropped — the first latent is then a mid-video frame rather than
+    an image latent, but it is masked out of the loss either way.
+
+    Returns (x_win [B, window, C, H, W], mask [B, window] bool or None).
+    """
+    B, F = x0.shape[:2]
+    if F <= window:
+        return x0, None
+    if vae_params is not None:
+        from ..models import vae as vae_mod
+        prefix = jax.lax.stop_gradient(
+            x0[:, :F - (window - 1)].astype(jnp.float32))
+        pixels = vae_mod.decode(vae_params, prefix)
+        img_lat = vae_mod.encode(vae_params, pixels[:, -1:])
+        x_win = jnp.concatenate(
+            [jax.lax.stop_gradient(img_lat.astype(x0.dtype)),
+             x0[:, -(window - 1):]], axis=1)
+    else:
+        x_win = x0[:, -window:]
+    mask = jnp.ones((B, window), bool).at[:, :num_frame_per_block].set(False)
+    return x_win, mask

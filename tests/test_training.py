@@ -556,3 +556,166 @@ def test_rollout_quantized_cache_close_and_grads_flow():
     total = sum(float(jnp.sum(jnp.abs(a)))
                 for a in jax.tree_util.tree_flatten(g)[0])
     assert np.isfinite(total) and total > 0.0
+
+
+class TestRollingRollout:
+    """SelfForcingRollout(rolling=True): scanned steady-state blocks over
+    a fixed recency-ordered cache — compile time and cache memory constant
+    in video length (reference truncation: causal_model.py:203-226)."""
+
+    def _setup(self):
+        from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+        cfg = tiny_test_config()
+        sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0,
+                                 extra_one_step=True)
+        sch.set_timesteps(1000, training=True)
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        ctx = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, cfg.text_len, cfg.text_dim))
+        ctx_kv = dit.precompute_context_kv(params, cfg,
+                                           dit.embed_text(params, ctx))
+        noise = jax.random.normal(jax.random.PRNGKey(2),
+                                  (1, 12, 16, 8, 8))
+        return cfg, sch, params, ctx_kv, noise
+
+    def _ro(self, cfg, sch, rolling, steps=(1000,), grad_window=12):
+        from mmpl_tpu.training.self_forcing import SelfForcingRollout
+        return SelfForcingRollout(cfg, sch, denoising_step_list=steps,
+                                  num_frame_per_block=3,
+                                  context_noise=0, num_max_frames=6,
+                                  grad_frame_window=grad_window,
+                                  rolling=rolling)
+
+    def test_truncation_equivalence(self):
+        """With a single denoising step and zero context noise the rollout
+        is rng-free, so the scanned rolling path must match the unrolled
+        truncated path (same visibility set, recency vs absolute slots)."""
+        cfg, sch, params, ctx_kv, noise = self._setup()
+        outs = {}
+        for rolling in (False, True):
+            ro = self._ro(cfg, sch, rolling)
+            flags = ro.sample_exit_flags(jax.random.PRNGKey(3), 4)
+            outs[rolling], _, _ = ro.rollout(params, ctx_kv, noise, flags,
+                                             jax.random.PRNGKey(4))
+        # tolerance: the rolling path computes RoPE trig on device in f32
+        # (traced start) vs the static path's host fp64 tables; the tiny
+        # angle differences compound through the 4-block AR feedback
+        # (measured max |diff| 6e-4)
+        np.testing.assert_allclose(np.asarray(outs[True]),
+                                   np.asarray(outs[False]),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_gradient_window_and_flow(self):
+        """Gradients flow through the steady scan for in-window frames and
+        are exactly zero for frames before the window."""
+        cfg, sch, params, ctx_kv, noise = self._setup()
+        ro = self._ro(cfg, sch, True, steps=(1000, 500), grad_window=6)
+        flags = ro.sample_exit_flags(jax.random.PRNGKey(3), 4)
+
+        def loss(p, sl):
+            out, _, _ = ro.rollout(p, ctx_kv, noise, flags,
+                                   jax.random.PRNGKey(4))
+            return jnp.sum(out[:, sl] ** 2)
+
+        g_in = jax.grad(lambda p: loss(p, slice(6, 12)))(params)
+        total_in = sum(float(jnp.sum(jnp.abs(a)))
+                       for a in jax.tree_util.tree_flatten(g_in)[0])
+        assert np.isfinite(total_in) and total_in > 0.0
+
+        g_out = jax.grad(lambda p: loss(p, slice(0, 6)))(params)
+        total_out = sum(float(jnp.sum(jnp.abs(a)))
+                        for a in jax.tree_util.tree_flatten(g_out)[0])
+        assert total_out == 0.0, total_out
+
+
+class TestRunGeneratorWindow:
+    """The reference's _run_generator extras (base.py:103-180): host-synced
+    random rollout length, last-window slice with VAE re-encode, and the
+    gradient mask on the window's first block."""
+
+    def test_sample_num_frames_bounds_and_sync(self):
+        from mmpl_tpu.training.self_forcing import sample_num_frames
+        rng = np.random.default_rng(0)
+        vals = {sample_num_frames(rng, 21, 33, 3) for _ in range(200)}
+        assert vals == {21, 24, 27, 30, 33}
+        # identical seeds -> identical sequences (the dist.broadcast
+        # analogue across dp hosts)
+        a = np.random.default_rng(7)
+        b = np.random.default_rng(7)
+        assert [sample_num_frames(a, 21, 33, 3) for _ in range(10)] == \
+               [sample_num_frames(b, 21, 33, 3) for _ in range(10)]
+
+    def test_slice_fallback_and_mask(self):
+        from mmpl_tpu.training.self_forcing import slice_last_window
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, 4, 4))
+        w, m = slice_last_window(x, 6, 3)
+        assert w.shape == (2, 6, 16, 4, 4)
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(x[:, -6:]))
+        m = np.asarray(m)
+        assert not m[:, :3].any() and m[:, 3:].all()
+        # at-window rollouts pass through unmasked (base.py:176-177)
+        w2, m2 = slice_last_window(x[:, :6], 6, 3)
+        assert m2 is None and w2.shape == (2, 6, 16, 4, 4)
+
+    def test_slice_vae_reencode(self):
+        from mmpl_tpu.models import vae
+        from mmpl_tpu.training.self_forcing import slice_last_window
+        vp = vae.init_vae_params(jax.random.PRNGKey(0), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, 9, 16, 4, 4)) * 0.1
+        w, m = slice_last_window(x, 6, 3, vae_params=vp)
+        assert w.shape == (1, 6, 16, 4, 4)
+        # first latent == encode(last pixel frame of the decoded prefix)
+        # (base.py:155-165)
+        pixels = vae.decode(vp, x[:, :4].astype(jnp.float32))
+        expect = vae.encode(vp, pixels[:, -1:])
+        np.testing.assert_allclose(np.asarray(w[:, :1]), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(w[:, 1:]),
+                                      np.asarray(x[:, -5:]))
+        # the re-encoded frame carries no gradient back into the rollout
+        g = jax.grad(lambda xx: jnp.sum(
+            slice_last_window(xx, 6, 3, vae_params=vp)[0][:, 0] ** 2))(x)
+        assert float(jnp.abs(g).max()) == 0.0
+
+    def test_distiller_windowed_rolling_dmd(self):
+        """End-to-end: a 12-frame rolling rollout sliced to a 6-frame score
+        window; DMD generator loss finite with flowing grads."""
+        from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                    Distiller)
+        cfg = tiny_test_config()
+        sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0,
+                                 extra_one_step=True)
+        sch.set_timesteps(1000, training=True)
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        ctx = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, cfg.text_len, cfg.text_dim))
+        ctx_kv = dit.precompute_context_kv(params, cfg,
+                                           dit.embed_text(params, ctx))
+        ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000, 500),
+                                num_frame_per_block=3, num_max_frames=6,
+                                grad_frame_window=6, rolling=True)
+        dist = Distiller(cfg, DistillationConfig(
+            dtype=jnp.float32, window_frames=6), ro, sch)
+        models = {"generator": params,
+                  "fake_score": randomize_head(dit.init_dit_params(
+                      jax.random.PRNGKey(10), cfg, jnp.float32)),
+                  "real_score": randomize_head(dit.init_dit_params(
+                      jax.random.PRNGKey(11), cfg, jnp.float32))}
+        batch = {"noise": jax.random.normal(jax.random.PRNGKey(8),
+                                            (1, 12, 16, 4, 4)),
+                 "ctx_kv": ctx_kv, "context": ctx,
+                 "uncond_context": jnp.zeros_like(ctx)}
+
+        def lf(g):
+            loss, _ = dist.dmd_generator_loss(
+                {**models, "generator": g}, batch, jax.random.PRNGKey(9))
+            return loss
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        assert np.isfinite(float(loss))
+        total = sum(float(jnp.sum(jnp.abs(a)))
+                    for a in jax.tree_util.tree_flatten(grads)[0])
+        assert np.isfinite(total) and total > 0.0

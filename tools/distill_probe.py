@@ -7,6 +7,13 @@ this measures it on hardware with the real 60x104 latent grid.  Three
 reduced layer count so all three + two optimizer states fit 16 GB.
 
 Run: python tools/distill_probe.py [layers] [frames] [steps] [dmd|gan]
+                                   [num_training_frames]
+
+With num_training_frames > frames the rollout runs LONGER than the score
+window (the reference's base.py:131-167 regime): blocks past the attention
+window execute as ONE scanned recency-ordered block (rolling=True) and the
+losses see the last `frames` frames — compile time stays constant in video
+length.
 """
 
 import os
@@ -38,11 +45,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main(layers: int, F: int, steps: int, objective: str = "dmd"):
+def main(layers: int, F: int, steps: int, objective: str = "dmd",
+         max_F: int = None):
     enable_compilation_cache()
+    max_F = max_F or F
     cfg = DotDict(T2V_1_3B, name=f"t2v-1.3B/{layers}L",
                   num_layers=layers)
-    log(f"backend={jax.default_backend()} cfg={cfg.name} frames={F}")
+    log(f"backend={jax.default_backend()} cfg={cfg.name} frames={F}"
+        + (f" rollout={max_F} (rolling)" if max_F > F else ""))
     lat_hw = (60, 104)
     B = 1
     dtype = jnp.bfloat16  # bf16 throughout: f32 flash-bwd tiles overflow
@@ -53,11 +63,13 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd"):
     qc = os.environ.get("DISTILL_QC", "0") == "1"
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
-                            quantize_cache=qc, dtype=dtype)
+                            quantize_cache=qc, rolling=max_F > F,
+                            dtype=dtype)
     if qc:
         log("rollout cache: int8")
-    dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0,
-                                             dtype=dtype), ro, sch)
+    dist = Distiller(cfg, DistillationConfig(
+        timestep_shift=8.0, dtype=dtype,
+        window_frames=F if max_F > F else None), ro, sch)
 
     models = {
         "generator": randomize_head(
@@ -111,7 +123,7 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd"):
         ctx = jax.random.normal(k1, (B, cfg.text_len, cfg.text_dim), dtype)
         emb = dit.embed_text(models["generator"], ctx)
         batch = {
-            "noise": jax.random.normal(k2, (B, F, 16, *lat_hw)),
+            "noise": jax.random.normal(k2, (B, max_F, 16, *lat_hw)),
             "ctx_kv": dit.precompute_context_kv(models["generator"], cfg,
                                                 emb),
             "context": ctx,
@@ -140,4 +152,5 @@ if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 12,
          int(sys.argv[2]) if len(sys.argv) > 2 else 9,
          int(sys.argv[3]) if len(sys.argv) > 3 else 3,
-         sys.argv[4] if len(sys.argv) > 4 else "dmd")
+         sys.argv[4] if len(sys.argv) > 4 else "dmd",
+         int(sys.argv[5]) if len(sys.argv) > 5 else None)

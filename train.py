@@ -37,6 +37,15 @@ def parse_args(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--timestep-shift", type=float, default=8.0)
     p.add_argument("--num-frames", type=int, default=21)
+    p.add_argument("--num-training-frames", type=int, default=None,
+                   help="distillation: max rollout length; each step "
+                        "samples a length in [--num-frames, this] in whole "
+                        "blocks and the losses see the last --num-frames "
+                        "window (base.py:131-167)")
+    p.add_argument("--rolling", action="store_true",
+                   help="run rollout blocks past the attention window as "
+                        "one scanned recency-ordered block (constant "
+                        "compile time/cache memory in video length)")
     p.add_argument("--noise-aug-max", type=int, default=100)
     p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
     p.add_argument("--fake-guidance-scale", type=float, default=0.0,
@@ -250,12 +259,17 @@ def main(argv=None):
     # (+ gan head, + frozen real_score for dmd/sid/causvid)
     from mmpl_tpu.training.distillation import (DistillationConfig,
                                                 Distiller)
-    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    from mmpl_tpu.training.self_forcing import (SelfForcingRollout,
+                                                sample_num_frames)
+    max_F = args.num_training_frames or F
+    assert max_F >= F and max_F % 3 == 0, (F, max_F)
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
-                            num_max_frames=F, grad_frame_window=F)
+                            num_max_frames=F, grad_frame_window=F,
+                            rolling=args.rolling)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
-        fake_guidance_scale=args.fake_guidance_scale), ro, sch)
+        fake_guidance_scale=args.fake_guidance_scale,
+        window_frames=F if max_F > F else None), ro, sch)
     models = {
         "generator": params,
         "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
@@ -281,6 +295,9 @@ def main(argv=None):
     tx = optax.adamw(args.lr)
     opt_g = tx.init(models["generator"])
     opt_c = tx.init({k: models[k] for k in critic_keys})
+    # generator EMA — the released checkpoints carry 'generator_ema'
+    # (Wan_fps_inference_1gpu.py:66-68, configs/self_forcing_dmd.yaml ema)
+    ema = EmaParams(models["generator"], decay=args.ema_decay)
 
     @jax.jit
     def gen_step(models, opt_g, batch, rng):
@@ -300,13 +317,17 @@ def main(argv=None):
         return optax.apply_updates(cparams, upd), opt_c, loss
 
     rng = jax.random.PRNGKey(args.seed + 1)
+    # host-side length sampler, seeded identically on every dp host (the
+    # dist.broadcast analogue — self_forcing.sample_num_frames)
+    len_rng = np.random.default_rng(args.seed + 2)
     for step in range(args.steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+        F_roll = sample_num_frames(len_rng, F, max_F) if max_F > F else F
         ctx = jax.random.normal(k1, (args.batch_size, cfg.text_len,
                                      cfg.text_dim))
         emb = dit.embed_text(models["generator"], ctx)
         batch = {
-            "noise": jax.random.normal(k2, (args.batch_size, F, 16,
+            "noise": jax.random.normal(k2, (args.batch_size, F_roll, 16,
                                             *lat_hw)),
             "ctx_kv": dit.precompute_context_kv(models["generator"], cfg,
                                                 emb),
@@ -325,12 +346,24 @@ def main(argv=None):
         if (step + 1) % args.dfake_gen_update_ratio == 0:
             models["generator"], opt_g, gloss = gen_step(models, opt_g,
                                                          batch, k3)
+            ema.update(models["generator"])
             line += f" gen={float(gloss):.5f}"
             scalars["gen_loss"] = float(gloss)
         scalars["step_s"] = time.time() - t0
         metrics.log(step, **scalars)
         print(line + f" ({scalars['step_s']:.2f}s)", file=sys.stderr,
               flush=True)
+        if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+            from mmpl_tpu.utils.train_state_io import save_checkpoint
+            save_checkpoint(os.path.join(args.ckpt_dir, f"step{step+1}"),
+                            {"models": models, "opt_g": opt_g,
+                             "opt_c": opt_c, "ema": ema.shadow,
+                             "step": jnp.asarray(step + 1)})
+    if args.export_pt:
+        from mmpl_tpu.utils.train_state_io import export_generator_pt
+        export_generator_pt(args.export_pt, models["generator"],
+                            ema.shadow, cfg)
+        print(f"exported {args.export_pt}", file=sys.stderr)
     return 0
 
 
