@@ -719,3 +719,41 @@ class TestRunGeneratorWindow:
         total = sum(float(jnp.sum(jnp.abs(a)))
                     for a in jax.tree_util.tree_flatten(grads)[0])
         assert np.isfinite(total) and total > 0.0
+
+
+def test_train_cli_rolling_distill_smoke(tmp_path):
+    """train.py --objective dmd with a rolling windowed rollout, plus the
+    distillation-loop extras: generator EMA, periodic checkpoint, and .pt
+    export in the reference's {'generator','generator_ema'} format
+    (Wan_fps_inference_1gpu.py:66-68)."""
+    import importlib
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    pt = str(tmp_path / "gen.pt")
+    assert train.main(["--objective", "dmd", "--steps", "2", "--smoke",
+                       "--num-frames", "6", "--num-training-frames", "12",
+                       "--rolling", "--dfake-gen-update-ratio", "2",
+                       "--ckpt-every", "2",
+                       "--ckpt-dir", str(tmp_path / "ck"),
+                       "--export-pt", pt,
+                       "--log-dir", str(tmp_path / "runs")]) == 0
+    assert _os.path.exists(pt)
+    ck = [d for d in _os.listdir(tmp_path / "ck") if d.startswith("step")]
+    assert ck, "periodic checkpoint missing"
+    # the export round-trips through the MMPL checkpoint loader for both
+    # the generator and generator_ema entries, onto the right pytree shapes
+    from mmpl_tpu.core.config import tiny_test_config
+    from mmpl_tpu.utils.checkpoint import load_mmpl_generator
+    cfg = tiny_test_config()
+    ref = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    for use_ema in (False, True):
+        loaded = load_mmpl_generator(pt, cfg, use_ema=use_ema)
+        assert jax.tree_util.tree_structure(loaded) == \
+            jax.tree_util.tree_structure(ref)
+        jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                     (_ for _ in ()).throw(AssertionError((a.shape,
+                                                           b.shape))),
+                     loaded, ref)
