@@ -472,6 +472,28 @@ def embed_image_clip(params: Params, clip_fea: jnp.ndarray) -> jnp.ndarray:
     return layer_norm(x, 1e-5, p["norm2"]["weight"], p["norm2"]["bias"])
 
 
+def remat_layer(fn, offload: bool = False):
+    """Per-layer `jax.checkpoint` for layer-scan bodies whose FIRST arg is
+    the inter-layer boundary activation.  offload=True keeps that boundary
+    (the only saved residual) in pinned host memory instead of HBM on the
+    backward pass — the full-depth single-chip memory lever, the XLA-native
+    role of the reference's layer-wise CPU offload
+    (demo_utils/memory.py:13-59; FSDP cpu_offload utils/distributed.py:23-68).
+    A pure memory-placement change: loss/grads are identical (tests)."""
+    if not offload:
+        return jax.checkpoint(fn, prevent_cse=False)
+    from jax.ad_checkpoint import checkpoint_name
+    policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+        names_which_can_be_saved=(),
+        names_which_can_be_offloaded=("mmpl_layer_boundary",),
+        offload_src="device", offload_dst="pinned_host")
+
+    def tagged(x, *rest):
+        return fn(checkpoint_name(x, "mmpl_layer_boundary"), *rest)
+
+    return jax.checkpoint(tagged, prevent_cse=False, policy=policy)
+
+
 # ---------------------------------------------------------------------------
 # Bidirectional WanModel forward (teacher / non-causal paths)
 # ---------------------------------------------------------------------------
@@ -481,7 +503,8 @@ def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
                 clip_fea: Optional[jnp.ndarray] = None,
                 y: Optional[jnp.ndarray] = None,
                 attn_mask: Optional[jnp.ndarray] = None,
-                remat: bool = False) -> jnp.ndarray:
+                remat: bool = False,
+                remat_offload: bool = False) -> jnp.ndarray:
     """Bidirectional Wan DiT (WanModel._forward, model.py:637-771).
 
     latents: [B, F, C, H, W]; t: [B] or [B, F]; context: [B, 512, text_dim].
@@ -532,7 +555,7 @@ def dit_forward(params: Params, cfg, latents: jnp.ndarray, t: jnp.ndarray,
                              partial(self_attn, bp["self_attn"]), ckv, F)
 
     if remat:
-        block_apply = jax.checkpoint(block_apply, prevent_cse=False)
+        block_apply = remat_layer(block_apply, remat_offload)
 
     def scan_body(x, layer_in):
         bp, ckv = layer_in

@@ -35,6 +35,7 @@ from ..core.geometry import GroupSchedule, KV_CACHE_SLOTS
 from ..ops.attention import attention
 from ..ops.rope import rope_table
 from .dit import (Params, block_forward, head_forward, linear, patchify,
+                  remat_layer,
                   precompute_context_kv, embed_text, qkv_project,
                   time_embed, unpatchify)
 
@@ -86,6 +87,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                       y: Optional[jnp.ndarray] = None,
                       rope_cs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                       remat: bool = False,
+                      remat_offload: bool = False,
                       ) -> Tuple[jnp.ndarray, Params]:
     """One forward of the group's frames through the whole trunk.
 
@@ -178,8 +180,10 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
         # forward (the self-forcing rollout's graded step): the backward
         # then stores only the per-layer boundary x instead of every
         # layer's attention/ffn intermediates (the [L, tokens, ffn_dim]
-        # stack alone is ~1 GB/block at 1.3B geometry)
-        layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
+        # stack alone is ~1 GB/block at 1.3B geometry).  remat_offload
+        # additionally parks that boundary in pinned host memory
+        # (dit.remat_layer) — the full-depth distillation lever.
+        layer_apply = remat_layer(layer_apply, remat_offload)
 
     def scan_body(x, layer_in):
         return layer_apply(x, layer_in)
@@ -311,26 +315,12 @@ def fps_forward_train(params: Params, cfg, noisy: jnp.ndarray,
         # pinned host memory; everything else rematerialises as before.
         # The role of the reference's layer-wise CPU offload
         # (demo_utils/memory.py:13-59, FSDP cpu_offload
-        # utils/distributed.py:23-68), done the XLA way.
-        from jax.ad_checkpoint import checkpoint_name
-        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
-            names_which_can_be_saved=(),
-            names_which_can_be_offloaded=("mmpl_layer_boundary",),
-            offload_src="device", offload_dst="pinned_host")
-
-        def block_apply(x, bp, ckv):
-            x = checkpoint_name(x, "mmpl_layer_boundary")
-            return block_forward(bp, cfg, x, e0,
-                                 lambda xm: self_attn(bp["self_attn"], xm),
-                                 ckv, num_seq_frames)
-
-        block_apply = jax.checkpoint(block_apply, prevent_cse=False,
-                                     policy=policy)
+        # utils/distributed.py:23-68), done the XLA way (dit.remat_layer).
+        block_apply = remat_layer(block_apply, offload=True)
     elif remat:
         # per-block rematerialisation (the reference's per-block
         # torch.utils.checkpoint, causal_fps_model.py:817-821)
-        block_apply = jax.checkpoint(block_apply,
-                                     prevent_cse=False)
+        block_apply = remat_layer(block_apply)
 
     if remat and remat_group > 1:
         # grouped remat: checkpoint a g-layer segment so the scan stores

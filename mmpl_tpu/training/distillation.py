@@ -54,6 +54,7 @@ class DistillationConfig:
                  critic_timestep_shift: Optional[float] = None,
                  window_frames: Optional[int] = None,
                  remat: bool = True,
+                 remat_offload: bool = False,
                  dtype=jnp.float32):
         self.real_guidance_scale = real_guidance_scale
         self.fake_guidance_scale = fake_guidance_scale
@@ -84,6 +85,10 @@ class DistillationConfig:
         #: rematerialise score-model blocks on backward (the reference's
         #: per-block gradient checkpointing); required at 1.3B scale
         self.remat = remat
+        #: additionally park the per-layer boundary activations in pinned
+        #: host memory (dit.remat_layer) — the full-depth single-chip
+        #: lever, same as fps_forward_train(remat_offload=True)
+        self.remat_offload = remat_offload
         self.dtype = dtype
 
 
@@ -108,7 +113,8 @@ class Distiller:
         """Bidirectional score forward -> x0 prediction ([B,F,...], t [B,F])."""
         flow = dit_forward(params, self.model_cfg,
                            xt.astype(self.dcfg.dtype), t, ctx,
-                           remat=self.dcfg.remat)
+                           remat=self.dcfg.remat,
+                           remat_offload=self.dcfg.remat_offload)
         x0 = self.scheduler.convert_flow_pred_to_x0(
             _flat(flow).astype(jnp.float32), _flat(xt.astype(jnp.float32)),
             t.reshape(-1)).reshape(xt.shape)
@@ -250,7 +256,8 @@ class Distiller:
             models["fake_score"], models["gan_head"], self.model_cfg,
             noisy.astype(self.dcfg.dtype), t, ctx,
             concat_time_embeddings=self.dcfg.concat_time_embeddings,
-            remat=self.dcfg.remat)
+            remat=self.dcfg.remat,
+            remat_offload=self.dcfg.remat_offload)
 
     def _gan_noisy_pair(self, models, batch, rng, stop_grad_rollout: bool):
         """Shared rollout + noising for both GAN losses.
@@ -362,7 +369,8 @@ def prepare_ode_generator_input(ode_latent, denoising_step_list, rng,
 
 
 def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
-                        batch, rng, dtype=jnp.float32, remat: bool = True):
+                        batch, rng, dtype=jnp.float32, remat: bool = True,
+                        remat_offload: bool = False):
     """model/ode_regression.py:9-138: regress the causal generator onto
     precomputed ODE-solver trajectories (CausVid §4.3).
 
@@ -387,7 +395,7 @@ def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
         tt = t[:, b * nb:(b + 1) * nb]
         flow, cache = fps_forward_group(
             generator_params, cfg, x.astype(dtype), tt, batch["ctx_kv"],
-            cache, sched, remat=remat)
+            cache, sched, remat=remat, remat_offload=remat_offload)
         x0 = scheduler.convert_flow_pred_to_x0(
             _flat(flow).astype(jnp.float32), _flat(x),
             tt.reshape(-1)).reshape(x.shape)
@@ -400,7 +408,7 @@ def ode_regression_loss(generator_params, cfg, scheduler: FlowMatchScheduler,
         _, cache = fps_forward_group(
             generator_params, cfg, clean.astype(dtype),
             jnp.zeros_like(tt), batch["ctx_kv"], cache, sched,
-            remat=remat)
+            remat=remat, remat_offload=remat_offload)
     pred = jnp.concatenate(preds, axis=1)
     # frames whose sampled timestep is 0 are excluded (the reference's
     # `mask = timestep != 0`, ode_regression.py:125-128); for step lists

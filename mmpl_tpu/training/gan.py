@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from ..models.dit import (Params, block_forward, embed_text,
                           init_linear, layer_norm, linear, mlp, patchify,
-                          precompute_context_kv, qkv_project, rms_norm,
-                          time_embed)
+                          precompute_context_kv, qkv_project, remat_layer,
+                          rms_norm, time_embed)
 from ..ops.attention import attention
 from ..ops.rope import window_rope_table
 
@@ -100,7 +100,8 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
                          context: jnp.ndarray,
                          concat_time_embeddings: bool = False,
                          gan_num_heads: Optional[int] = None,
-                         remat: bool = False) -> jnp.ndarray:
+                         remat: bool = False,
+                         remat_offload: bool = False) -> jnp.ndarray:
     """Bidirectional DiT feature extraction -> GAN logits
     (model.py:637-771 classify_mode branch)."""
     B, F, C, H, W = latents.shape
@@ -130,8 +131,9 @@ def dit_forward_classify(params: Params, gan_params: Params, cfg,
 
         if remat:
             # per-layer remat when trained through at scale (see
-            # dit_forward; DistillationConfig.remat)
-            body_apply = jax.checkpoint(body_apply, prevent_cse=False)
+            # dit_forward; DistillationConfig.remat); remat_offload parks
+            # the layer boundary in pinned host memory (dit.remat_layer)
+            body_apply = remat_layer(body_apply, remat_offload)
 
         def body(x, layer_in):
             bp, ckv = layer_in

@@ -42,6 +42,7 @@ class SelfForcingRollout:
                  num_max_frames: int = 21,
                  grad_frame_window: int = 21,
                  remat: bool = True,
+                 remat_offload: bool = False,
                  quantize_cache: bool = False,
                  rolling: bool = False,
                  dtype=jnp.float32):
@@ -63,6 +64,9 @@ class SelfForcingRollout:
         #: stay live across the whole rollout — 12 layers x 3 blocks at
         #: 1.3B geometry wants >100 GB (measured, tools/distill_probe.py)
         self.remat = remat
+        #: park the graded forward's per-layer boundary activations in
+        #: pinned host memory (dit.remat_layer) — full-depth single-chip
+        self.remat_offload = remat_offload
         #: int8 rollout KV cache (models.fps_dit.init_kv_cache): valid in
         #: training because cache gradients are severed below anyway (the
         #: reference's no_grad cache); frees ~half the rollout cache HBM
@@ -164,7 +168,8 @@ class SelfForcingRollout:
             p = params if graded else jax.lax.stop_gradient(params)
             flow, cache = fps_forward_group(
                 p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched,
-                rope_cs=rope_cs, remat=self.remat)
+                rope_cs=rope_cs, remat=self.remat,
+                remat_offload=self.remat_offload)
             # Sever gradient flow through the cache: the reference's cache
             # writes all happen under no_grad (self_forcing_training.py),
             # and the clean commit below overwrites this block's slots

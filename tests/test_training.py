@@ -757,3 +757,53 @@ def test_train_cli_rolling_distill_smoke(tmp_path):
                      (_ for _ in ()).throw(AssertionError((a.shape,
                                                            b.shape))),
                      loaded, ref)
+
+
+def test_distillation_remat_offload_grads_match():
+    """remat_offload=True on the distillation path (rollout graded forward
+    + score models in pinned host memory — full-depth single-chip) is a
+    pure memory-placement change: DMD generator grads match plain remat."""
+    from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
+    from mmpl_tpu.training.distillation import (DistillationConfig,
+                                                Distiller)
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    models = {
+        "generator": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)),
+        "fake_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.float32)),
+        "real_score": randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.float32)),
+    }
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    ctx = jax.random.normal(k1, (1, cfg.text_len, cfg.text_dim))
+    batch = {
+        "noise": jax.random.normal(k2, (1, 6, 16, 8, 8)),
+        "ctx_kv": dit.precompute_context_kv(
+            models["generator"], cfg,
+            dit.embed_text(models["generator"], ctx)),
+        "context": ctx,
+        "uncond_context": jnp.zeros_like(ctx),
+    }
+
+    def grads(off):
+        ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+                                num_max_frames=6, grad_frame_window=6,
+                                remat_offload=off)
+        dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0,
+                                                 remat_offload=off),
+                         ro, sch)
+        return jax.jit(jax.grad(lambda g: dist.dmd_generator_loss(
+            {**models, "generator": g}, batch, k3)[0]))(models["generator"])
+
+    g_plain, g_off = grads(False), grads(True)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_o, _ = jax.tree_util.tree_flatten(g_off)
+    total = sum(float(jnp.sum(jnp.abs(a))) for a in flat_p)
+    assert total > 0.0
+    for a, b in zip(flat_p, flat_o):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

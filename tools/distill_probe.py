@@ -61,15 +61,19 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
     sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
     sch.set_timesteps(1000, training=True)
     qc = os.environ.get("DISTILL_QC", "0") == "1"
+    off = os.environ.get("DISTILL_OFFLOAD", "0") == "1"
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
                             quantize_cache=qc, rolling=max_F > F,
-                            dtype=dtype)
+                            remat_offload=off, dtype=dtype)
     if qc:
         log("rollout cache: int8")
+    if off:
+        log("remat boundaries: pinned_host offload")
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=8.0, dtype=dtype,
-        window_frames=F if max_F > F else None), ro, sch)
+        window_frames=F if max_F > F else None,
+        remat_offload=off), ro, sch)
 
     models = {
         "generator": randomize_head(

@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="run rollout blocks past the attention window as "
                         "one scanned recency-ordered block (constant "
                         "compile time/cache memory in video length)")
+    p.add_argument("--remat-offload", action="store_true",
+                   help="park per-layer boundary activations in pinned "
+                        "host memory during backward (full-depth "
+                        "single-chip training; demo_utils/memory.py role)")
     p.add_argument("--noise-aug-max", type=int, default=100)
     p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
     p.add_argument("--fake-guidance-scale", type=float, default=0.0,
@@ -114,7 +118,8 @@ def main(argv=None):
             fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS[:F])
             loss_fn = make_teacher_forcing_loss_fn(
                 cfg, sch, fm, num_frame_per_block=3,
-                noise_aug_max_timestep=args.noise_aug_max)
+                noise_aug_max_timestep=args.noise_aug_max,
+                remat_offload=args.remat_offload)
         mesh = None
         if args.mesh:
             from mmpl_tpu.parallel.mesh import make_mesh
@@ -235,7 +240,9 @@ def main(argv=None):
                      "timestep": t, "ctx_kv": ctx_kv}
 
             def lf(p):
-                return ode_regression_loss(p, cfg, sch, batch, r2)
+                return ode_regression_loss(
+                    p, cfg, sch, batch, r2,
+                    remat_offload=args.remat_offload)
             (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
             upd, opt = tx.update(grads, opt, params)
             return optax.apply_updates(params, upd), opt, loss
@@ -265,11 +272,13 @@ def main(argv=None):
     assert max_F >= F and max_F % 3 == 0, (F, max_F)
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
-                            rolling=args.rolling)
+                            rolling=args.rolling,
+                            remat_offload=args.remat_offload)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
         fake_guidance_scale=args.fake_guidance_scale,
-        window_frames=F if max_F > F else None), ro, sch)
+        window_frames=F if max_F > F else None,
+        remat_offload=args.remat_offload), ro, sch)
     models = {
         "generator": params,
         "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
