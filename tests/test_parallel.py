@@ -216,10 +216,15 @@ def test_ring_flash_attention_fwd_and_grads_match_dense():
                                    err_msg=f"d{name}")
 
 
-def test_sharded_dmd_step_matches_replicated():
+@pytest.mark.parametrize("rolling", [False, True],
+                         ids=["windowed", "rolling"])
+def test_sharded_dmd_step_matches_replicated(rolling):
     """Full-depth distillation is the sharded path (PERF.md): a DMD
     generator loss+grad over (dp, fsdp, tp)-sharded models must equal
-    the replicated computation."""
+    the replicated computation.  The rolling variant runs a 12-frame
+    rollout through the steady-state scan (evict-rotate cache + traced
+    RoPE) sliced to a 6-frame score window — the long-rollout training
+    path must shard identically."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from mmpl_tpu.schedulers.flow_match import FlowMatchScheduler
     from mmpl_tpu.training.distillation import (DistillationConfig,
@@ -229,8 +234,11 @@ def test_sharded_dmd_step_matches_replicated():
     sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
     sch.set_timesteps(1000, training=True)
     ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
-                            num_max_frames=6, grad_frame_window=6)
-    dist = Distiller(cfg, DistillationConfig(timestep_shift=8.0), ro, sch)
+                            num_max_frames=6, grad_frame_window=6,
+                            rolling=rolling)
+    dist = Distiller(cfg, DistillationConfig(
+        timestep_shift=8.0,
+        window_frames=6 if rolling else None), ro, sch)
     models = {
         k: randomize_head(
             dit.init_dit_params(jax.random.PRNGKey(i), cfg, jnp.float32))
@@ -239,7 +247,8 @@ def test_sharded_dmd_step_matches_replicated():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
     ctx = jax.random.normal(k1, (2, cfg.text_len, cfg.text_dim))
     batch = {
-        "noise": jax.random.normal(k2, (2, 6, 16, 8, 8)),
+        "noise": jax.random.normal(k2, (2, 12 if rolling else 6,
+                                        16, 8, 8)),
         "ctx_kv": dit.precompute_context_kv(
             models["generator"], cfg,
             dit.embed_text(models["generator"], ctx)),
