@@ -45,10 +45,18 @@ class SelfForcingRollout:
                  remat_offload: bool = False,
                  quantize_cache: bool = False,
                  rolling: bool = False,
+                 warp_denoising_step: bool = False,
                  dtype=jnp.float32):
-        steps = [int(t) for t in denoising_step_list]
+        steps = [float(t) for t in denoising_step_list]
         if steps[-1] == 0:
             steps = steps[:-1]
+        if warp_denoising_step:
+            # map the nominal step list through the shifted schedule:
+            # step -> timesteps[1000-step] (base.py:22-24;
+            # configs/self_forcing_dmd.yaml warp_denoising_step: true) —
+            # the same warp the few-step inference pipeline applies
+            ts = np.concatenate([np.asarray(scheduler.timesteps), [0.0]])
+            steps = [float(ts[1000 - int(s)]) for s in steps]
         self.steps = tuple(steps)
         self.cfg = cfg
         self.scheduler = scheduler

@@ -807,3 +807,32 @@ def test_distillation_remat_offload_grads_match():
     for a, b in zip(flat_p, flat_o):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_rollout_warp_denoising_step_matches_pipeline():
+    """warp_denoising_step on the training rollout maps the nominal step
+    list through the shifted schedule exactly as BaseModel does
+    (base.py:22-24) and as the few-step inference pipeline does — the two
+    sides must train and sample at the SAME warped timesteps."""
+    from mmpl_tpu.pipelines.causal_inference import CausalInferencePipeline
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    nominal = (1000, 750, 500, 250)
+    ro = SelfForcingRollout(cfg, sch, denoising_step_list=nominal,
+                            warp_denoising_step=True)
+    ts = np.concatenate([np.asarray(sch.timesteps), [0.0]])
+    expect = tuple(float(ts[1000 - s]) for s in nominal)
+    assert ro.steps == expect
+    # warped values differ from nominal (shift=8 pushes them up) except
+    # the first (timesteps[0] == 1000 under extra_one_step)
+    assert ro.steps[0] == pytest.approx(1000.0, abs=1e-3)
+    assert all(w > n for w, n in zip(ro.steps[1:], nominal[1:]))
+
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    pipe = CausalInferencePipeline(cfg, params,
+                                   denoising_step_list=nominal,
+                                   timestep_shift=8.0,
+                                   warp_denoising_step=True,
+                                   dtype=jnp.float32)
+    assert tuple(pipe.denoising_step_list) == expect

@@ -56,7 +56,11 @@ def parse_args(argv=None):
                    help="CFG on the fake score (the CausVid knob, "
                         "causvid.py:30-45)")
     p.add_argument("--denoising-step-list", default="1000,750,500,250",
-                   help="ODE regression step list (configs/*.yaml)")
+                   help="few-step list for ODE regression and the "
+                        "self-forcing rollout (configs/*.yaml)")
+    p.add_argument("--warp-denoising-step", action="store_true",
+                   help="map the step list through the shifted schedule "
+                        "(base.py:22-24; self_forcing_dmd.yaml)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="runs",
@@ -270,10 +274,15 @@ def main(argv=None):
                                                 sample_num_frames)
     max_F = args.num_training_frames or F
     assert max_F >= F and max_F % 3 == 0, (F, max_F)
-    ro = SelfForcingRollout(cfg, sch, num_frame_per_block=3,
+    ro = SelfForcingRollout(cfg, sch,
+                            denoising_step_list=tuple(
+                                int(s) for s in
+                                args.denoising_step_list.split(",")),
+                            num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
                             rolling=args.rolling,
-                            remat_offload=args.remat_offload)
+                            remat_offload=args.remat_offload,
+                            warp_denoising_step=args.warp_denoising_step)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
         fake_guidance_scale=args.fake_guidance_scale,
