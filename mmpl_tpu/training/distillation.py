@@ -161,8 +161,10 @@ class Distiller:
         """Rollout + the reference's last-window slice (base.py:103-180).
         Returns (x0, t_from, t_to, gradient_mask-or-None)."""
         r1, r2 = jax.random.split(rng)
-        nb = batch["noise"].shape[1] // self.rollout.num_frame_per_block
-        flags = self.rollout.sample_exit_flags(r1, nb)
+        nblocks = self.rollout.num_blocks(
+            batch["noise"].shape[1],
+            batch.get("initial_latent") is not None)
+        flags = self.rollout.sample_exit_flags(r1, nblocks)
         x0, t_from, t_to = self.rollout.rollout(
             models["generator"], batch["ctx_kv"], batch["noise"], flags, r2,
             initial_latent=batch.get("initial_latent"))
@@ -170,7 +172,9 @@ class Distiller:
         if self.dcfg.window_frames is not None:
             x0, mask = slice_last_window(
                 x0, self.dcfg.window_frames,
-                self.rollout.num_frame_per_block, self.vae_params)
+                self.rollout.num_frame_per_block, self.vae_params,
+                independent_first_frame=(
+                    self.rollout.independent_first_frame))
         return x0, t_from, t_to, mask
 
     # -- losses -------------------------------------------------------------

@@ -46,6 +46,7 @@ class SelfForcingRollout:
                  quantize_cache: bool = False,
                  rolling: bool = False,
                  warp_denoising_step: bool = False,
+                 independent_first_frame: bool = False,
                  dtype=jnp.float32):
         steps = [float(t) for t in denoising_step_list]
         if steps[-1] == 0:
@@ -88,7 +89,22 @@ class SelfForcingRollout:
         #: compile).  The reference's rolling truncation:
         #: causal_model.py:203-226 + self_forcing_training.py:239-253.
         self.rolling = bool(rolling)
+        #: i2v-style [1, nb, nb, ...] block plan: without an initial
+        #: latent, the FIRST generated frame is its own 1-frame block
+        #: (self_forcing_training.py:68-74,133-135); with one, the noise
+        #: is plain nb-blocks as in t2v
+        self.independent_first_frame = bool(independent_first_frame)
         self.dtype = dtype
+
+    def num_blocks(self, num_noise_frames: int,
+                   has_initial_latent: bool = False) -> int:
+        """Number of denoise blocks (== required exit_flags length) for a
+        noise tensor of `num_noise_frames` frames."""
+        first = 1 if (self.independent_first_frame
+                      and not has_initial_latent) else 0
+        assert (num_noise_frames - first) % self.num_frame_per_block == 0, \
+            (num_noise_frames, first, self.num_frame_per_block)
+        return first + (num_noise_frames - first) // self.num_frame_per_block
 
     def sample_exit_flags(self, rng, num_blocks: int) -> jnp.ndarray:
         """[num_blocks] int32; use a dp-replicated key for cross-shard sync."""
@@ -106,8 +122,12 @@ class SelfForcingRollout:
         sch = self.scheduler
         B, F, C, H, W = noise.shape
         nb = self.num_frame_per_block
-        num_blocks = F // nb
         n_init = 0 if initial_latent is None else initial_latent.shape[1]
+        # i2v [1, nb, nb, ...] plan when generating from scratch
+        # (self_forcing_training.py:68-74,133-135)
+        first = 1 if (self.independent_first_frame and n_init == 0) else 0
+        assert (F - first) % nb == 0, (F, first, nb)
+        all_sizes = [1] * first + [nb] * ((F - first) // nb)
         total = F + n_init
         grad_start_frame = total - self.grad_frame_window
 
@@ -115,8 +135,8 @@ class SelfForcingRollout:
         rolling = self.rolling and total > cap
         # rolling needs block-aligned geometry: the steady-state scan
         # assumes the cache is exactly full (cap frames written) on entry
-        assert not rolling or (cap % nb == 0 and n_init % nb == 0), \
-            (cap, nb, n_init)
+        assert not rolling or (cap % nb == 0 and n_init % nb == 0
+                               and first == 0), (cap, nb, n_init, first)
         cache = init_kv_cache(cfg, B, H * W // 4,
                               num_slots=cap if rolling
                               else max(total, cap),
@@ -145,7 +165,7 @@ class SelfForcingRollout:
 
                 def run(c):
                     xi, cache = c
-                    tt = jnp.broadcast_to(step_vals[i], (B, nb))
+                    tt = jnp.broadcast_to(step_vals[i], (B, xi.shape[1]))
                     flow, cache = fps_forward_group(
                         jax.lax.stop_gradient(params), cfg,
                         jax.lax.stop_gradient(xi).astype(self.dtype), tt,
@@ -154,7 +174,8 @@ class SelfForcingRollout:
                         flat(flow).astype(jnp.float32), flat(xi),
                         tt.reshape(-1)).reshape(xi.shape)
                     nz = jax.random.normal(k, xi.shape, jnp.float32)
-                    nt = jnp.broadcast_to(step_vals[i + 1], (B * nb,))
+                    nt = jnp.broadcast_to(step_vals[i + 1],
+                                          (B * xi.shape[1],))
                     xi = sch.add_noise(flat(jax.lax.stop_gradient(x0)),
                                        flat(nz), nt).reshape(xi.shape)
                     return xi, cache
@@ -172,7 +193,8 @@ class SelfForcingRollout:
             # layer's ffn intermediates during the recompute — measured
             # 35 GB at 12L/3-block 1.3B, tools/distill_probe.py)
             sel = jax.lax.stop_gradient(xi)
-            tt = jnp.full((B, nb), 1.0, jnp.float32) * step_vals[flag]
+            G = sel.shape[1]
+            tt = jnp.full((B, G), 1.0, jnp.float32) * step_vals[flag]
             p = params if graded else jax.lax.stop_gradient(params)
             flow, cache = fps_forward_group(
                 p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched,
@@ -193,12 +215,12 @@ class SelfForcingRollout:
 
             # context-noise commit (:199-216)
             key, k = jax.random.split(key)
-            ct = jnp.full((B * nb,), float(self.context_noise))
+            ct = jnp.full((B * G,), float(self.context_noise))
             committed = sch.add_noise(
                 flat(jax.lax.stop_gradient(x0)),
                 flat(jax.random.normal(k, x0.shape, jnp.float32)),
                 ct).reshape(x0.shape)
-            tt0 = jnp.full((B, nb), float(self.context_noise), jnp.float32)
+            tt0 = jnp.full((B, G), float(self.context_noise), jnp.float32)
             _, cache = fps_forward_group(
                 jax.lax.stop_gradient(params), cfg,
                 committed.astype(self.dtype), tt0, ctx_kv, cache, sched,
@@ -224,17 +246,21 @@ class SelfForcingRollout:
         # absolute-slot blocks: every block while the window still fits
         # the cache (all of them when not rolling)
         b = 0
-        while b < num_blocks and (not rolling or start + nb <= cap):
-            sched = block_schedule(start, nb, cap if rolling
+        noff = 0
+        while b < len(all_sizes) and (not rolling
+                                      or start + all_sizes[b] <= cap):
+            g = all_sizes[b]
+            sched = block_schedule(start, g, cap if rolling
                                    else self.num_max_frames)
-            x = noise[:, b * nb:(b + 1) * nb].astype(jnp.float32)
+            x = noise[:, noff:noff + g].astype(jnp.float32)
             x0, cache, rng = one_block(cache, x, block_flag(b), rng, sched,
                                        None, start >= grad_start_frame)
             outputs.append(x0)
-            start += nb
+            start += g
+            noff += g
             b += 1
 
-        if b < num_blocks:
+        if b < len(all_sizes):
             # ROLLING STEADY STATE: one lax.scan whose body is a single
             # recency-ordered block (evict-rotate + traced-start RoPE) —
             # compile time and cache memory stay CONSTANT in video length
@@ -244,7 +270,7 @@ class SelfForcingRollout:
             # the gradient window is applied on the assembled output
             # below (blocks outside it get zero cotangents).
             from ..ops.rope import dynamic_rope_table
-            nsteady = num_blocks - b
+            nsteady = len(all_sizes) - b
             other = tuple(range(cap - nb))
             sched_r = GroupSchedule(
                 index=-1, frames=tuple(range(10 ** 6, 10 ** 6 + nb)),
@@ -253,7 +279,7 @@ class SelfForcingRollout:
                 visible_frames=other, visible_slots=other,
                 anchor_group=False)
             xs_noise = jnp.moveaxis(
-                noise[:, b * nb:].reshape(B, nsteady, nb, C, H, W), 1, 0)
+                noise[:, noff:].reshape(B, nsteady, nb, C, H, W), 1, 0)
             flags = jnp.stack([block_flag(b + i) for i in range(nsteady)])
             keys = jax.random.split(rng, nsteady + 1)
             rng = keys[0]
@@ -304,25 +330,32 @@ class SelfForcingRollout:
 
 
 def sample_num_frames(rng: np.random.Generator, min_frames: int,
-                      max_frames: int, num_frame_per_block: int = 3) -> int:
+                      max_frames: int, num_frame_per_block: int = 3,
+                      independent_first_frame: bool = False) -> int:
     """Uniform random rollout length in whole blocks (base.py:131-147).
 
     `rng` is a host-side numpy Generator; seed it identically on every
     data-parallel host — that replaces the reference's
     `dist.broadcast(num_generated_blocks, src=0)` sync.  The result is a
     static Python int, so each distinct length compiles its own program
-    (bounded: (max-min)/block + 1 programs)."""
-    assert min_frames % num_frame_per_block == 0, (min_frames,
-                                                   num_frame_per_block)
-    assert max_frames % num_frame_per_block == 0, (max_frames,
-                                                   num_frame_per_block)
-    lo = min_frames // num_frame_per_block
-    hi = max_frames // num_frame_per_block
-    return int(rng.integers(lo, hi + 1)) * num_frame_per_block
+    (bounded: (max-min)/block + 1 programs).
+
+    independent_first_frame: the i2v [1, nb, ...] plan — blocks are
+    sampled over [min-1, max-1] and the standalone image frame is added
+    back (base.py:133-146)."""
+    off = 1 if independent_first_frame else 0
+    assert (min_frames - off) % num_frame_per_block == 0, (
+        min_frames, off, num_frame_per_block)
+    assert (max_frames - off) % num_frame_per_block == 0, (
+        max_frames, off, num_frame_per_block)
+    lo = (min_frames - off) // num_frame_per_block
+    hi = (max_frames - off) // num_frame_per_block
+    return int(rng.integers(lo, hi + 1)) * num_frame_per_block + off
 
 
 def slice_last_window(x0: jnp.ndarray, window: int,
-                      num_frame_per_block: int = 3, vae_params=None):
+                      num_frame_per_block: int = 3, vae_params=None,
+                      independent_first_frame: bool = False):
     """The reference's keep-last-21 trick for longer rollouts
     (base.py:153-177): when the rollout exceeds `window` frames, decode the
     prefix, re-encode its last pixel frame as a fresh image latent (under
@@ -351,5 +384,8 @@ def slice_last_window(x0: jnp.ndarray, window: int,
              x0[:, -(window - 1):]], axis=1)
     else:
         x_win = x0[:, -window:]
-    mask = jnp.ones((B, window), bool).at[:, :num_frame_per_block].set(False)
+    # gradient mask (base.py:169-177): no gradient on the window's first
+    # block — just the standalone image frame under the i2v plan
+    nomask = 1 if independent_first_frame else num_frame_per_block
+    mask = jnp.ones((B, window), bool).at[:, :nomask].set(False)
     return x_win, mask

@@ -836,3 +836,56 @@ def test_rollout_warp_denoising_step_matches_pipeline():
                                    warp_denoising_step=True,
                                    dtype=jnp.float32)
     assert tuple(pipe.denoising_step_list) == expect
+
+
+class TestIndependentFirstFrame:
+    """The i2v [1, nb, nb, ...] rollout plan
+    (self_forcing_training.py:68-74,133-135; base.py:133-147,169-177)."""
+
+    def test_sample_num_frames_iff(self):
+        from mmpl_tpu.training.self_forcing import sample_num_frames
+        rng = np.random.default_rng(0)
+        vals = {sample_num_frames(rng, 10, 22, 3,
+                                  independent_first_frame=True)
+                for _ in range(300)}
+        assert vals == {10, 13, 16, 19, 22}
+
+    def test_slice_mask_iff(self):
+        from mmpl_tpu.training.self_forcing import slice_last_window
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16, 4, 4))
+        w, m = slice_last_window(x, 7, 3, independent_first_frame=True)
+        assert w.shape == (2, 7, 16, 4, 4)
+        m = np.asarray(m)
+        # only the standalone image frame is masked (base.py:172-174)
+        assert not m[:, 0].any() and m[:, 1:].all()
+
+    def test_rollout_iff_plan(self):
+        cfg = tiny_test_config()
+        sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0,
+                                 extra_one_step=True)
+        sch.set_timesteps(1000, training=True)
+        params = randomize_head(
+            dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        ctx = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, cfg.text_len, cfg.text_dim))
+        ctx_kv = dit.precompute_context_kv(params, cfg,
+                                           dit.embed_text(params, ctx))
+        ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000, 500),
+                                num_frame_per_block=3, num_max_frames=7,
+                                grad_frame_window=7,
+                                independent_first_frame=True)
+        # 7 noise frames -> [1, 3, 3] plan
+        assert ro.num_blocks(7) == 3
+        # with an initial latent the noise is plain nb-blocks again
+        assert ro.num_blocks(6, has_initial_latent=True) == 2
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16, 4, 4))
+        flags = ro.sample_exit_flags(jax.random.PRNGKey(3), 3)
+        out, t_from, t_to = ro.rollout(params, ctx_kv, noise, flags,
+                                       jax.random.PRNGKey(4))
+        assert out.shape == (1, 7, 16, 4, 4)
+        assert np.isfinite(np.asarray(out)).all()
+        g = jax.grad(lambda p: jnp.sum(ro.rollout(
+            p, ctx_kv, noise, flags, jax.random.PRNGKey(4))[0] ** 2))(params)
+        total = sum(float(jnp.sum(jnp.abs(a)))
+                    for a in jax.tree_util.tree_flatten(g)[0])
+        assert np.isfinite(total) and total > 0.0

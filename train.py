@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--warp-denoising-step", action="store_true",
                    help="map the step list through the shifted schedule "
                         "(base.py:22-24; self_forcing_dmd.yaml)")
+    p.add_argument("--independent-first-frame", action="store_true",
+                   help="i2v [1, nb, nb, ...] rollout plan: the first "
+                        "generated frame is its own block "
+                        "(self_forcing_training.py:68-74)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="runs",
@@ -273,7 +277,10 @@ def main(argv=None):
     from mmpl_tpu.training.self_forcing import (SelfForcingRollout,
                                                 sample_num_frames)
     max_F = args.num_training_frames or F
-    assert max_F >= F and max_F % 3 == 0, (F, max_F)
+    iff = args.independent_first_frame
+    off = 1 if iff else 0
+    assert max_F >= F and (max_F - off) % 3 == 0 and (F - off) % 3 == 0, \
+        (F, max_F, off)
     ro = SelfForcingRollout(cfg, sch,
                             denoising_step_list=tuple(
                                 int(s) for s in
@@ -282,7 +289,8 @@ def main(argv=None):
                             num_max_frames=F, grad_frame_window=F,
                             rolling=args.rolling,
                             remat_offload=args.remat_offload,
-                            warp_denoising_step=args.warp_denoising_step)
+                            warp_denoising_step=args.warp_denoising_step,
+                            independent_first_frame=iff)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
         fake_guidance_scale=args.fake_guidance_scale,
@@ -340,7 +348,9 @@ def main(argv=None):
     len_rng = np.random.default_rng(args.seed + 2)
     for step in range(args.steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
-        F_roll = sample_num_frames(len_rng, F, max_F) if max_F > F else F
+        F_roll = sample_num_frames(
+            len_rng, F, max_F,
+            independent_first_frame=iff) if max_F > F else F
         ctx = jax.random.normal(k1, (args.batch_size, cfg.text_len,
                                      cfg.text_dim))
         emb = dit.embed_text(models["generator"], ctx)
