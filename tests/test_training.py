@@ -889,3 +889,32 @@ class TestIndependentFirstFrame:
         total = sum(float(jnp.sum(jnp.abs(a)))
                     for a in jax.tree_util.tree_flatten(g)[0])
         assert np.isfinite(total) and total > 0.0
+
+
+def test_train_config_yaml_merge():
+    """train.py --config: reference-style YAML run configs merge over flag
+    defaults with explicit CLI flags winning (the OmegaConf-merge role of
+    Wan_fps_inference_1gpu.py:54-56 for training)."""
+    import importlib
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    argv = ["--config", "configs/self_forcing_dmd.yaml", "--smoke",
+            "--lr", "9e-9"]
+    args = train.apply_run_config(train.parse_args(argv), argv)
+    assert args.objective == "dmd"
+    assert args.warp_denoising_step is True
+    assert args.timestep_shift == 5.0
+    assert args.denoising_step_list == "1000,750,500,250"
+    assert args.ema_decay == 0.99
+    assert args.lr == 9e-9                     # explicit CLI wins
+    # the reference's own config file parses too (trainer:
+    # score_distillation + distribution_loss: dmd spelling)
+    ref = "/root/reference/MMPL_t2v/configs/self_forcing_dmd.yaml"
+    if _os.path.exists(ref):
+        argv2 = ["--config", ref, "--smoke"]
+        a2 = train.apply_run_config(train.parse_args(argv2), argv2)
+        assert a2.objective == "dmd" and a2.warp_denoising_step is True
+        assert a2.lr == 2.0e-06 and a2.real_guidance_scale == 3.0

@@ -65,6 +65,16 @@ def parse_args(argv=None):
                    help="i2v [1, nb, nb, ...] rollout plan: the first "
                         "generated frame is its own block "
                         "(self_forcing_training.py:68-74)")
+    p.add_argument("--real-guidance-scale", type=float, default=5.0,
+                   help="CFG on the frozen real score "
+                        "(configs guidance_scale)")
+    p.add_argument("--context-noise", type=int, default=0,
+                   help="timestep at which clean context is committed to "
+                        "the rollout cache (default_config.yaml)")
+    p.add_argument("--config", default=None,
+                   help="YAML run config (the reference's OmegaConf style, "
+                        "configs/*.yaml) merged over flag defaults; "
+                        "explicitly-passed CLI flags win")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="runs",
@@ -86,8 +96,68 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+#: YAML key -> (CLI flag, args attribute, cast).  `trainer`/
+#: `distribution_loss` -> --objective is handled separately.
+_CONFIG_KEYS = {
+    "timestep_shift": ("--timestep-shift", "timestep_shift", float),
+    "lr": ("--lr", "lr", float),
+    "seed": ("--seed", "seed", int),
+    "batch_size": ("--batch-size", "batch_size", int),
+    "ema_weight": ("--ema-decay", "ema_decay", float),
+    "dfake_gen_update_ratio": ("--dfake-gen-update-ratio",
+                               "dfake_gen_update_ratio", int),
+    "num_training_frames": ("--num-training-frames",
+                            "num_training_frames", int),
+    "context_noise": ("--context-noise", "context_noise", int),
+    "guidance_scale": ("--real-guidance-scale", "real_guidance_scale",
+                       float),
+    "fake_guidance_scale": ("--fake-guidance-scale",
+                            "fake_guidance_scale", float),
+    "independent_first_frame": ("--independent-first-frame",
+                                "independent_first_frame", bool),
+    "warp_denoising_step": ("--warp-denoising-step",
+                            "warp_denoising_step", bool),
+}
+
+
+def apply_run_config(args, argv=None):
+    """Merge a reference-style YAML run config (`--config`) into parsed
+    args: config values override flag DEFAULTS, explicitly-passed CLI
+    flags override the config (the OmegaConf-merge role of
+    Wan_fps_inference_1gpu.py:54-56 for the training driver)."""
+    if not args.config:
+        return args
+    from mmpl_tpu.core.config import load_config
+    default = os.path.join(os.path.dirname(args.config),
+                           "default_config.yaml")
+    run_cfg = load_config(args.config,
+                          default if os.path.exists(default) else None)
+    given = list(argv if argv is not None else sys.argv[1:])
+
+    def explicit(flag):
+        return any(a == flag or a.startswith(flag + "=") for a in given)
+
+    for key, (flag, attr, cast) in _CONFIG_KEYS.items():
+        if key in run_cfg and not explicit(flag):
+            setattr(args, attr, cast(run_cfg[key]))
+    if "denoising_step_list" in run_cfg \
+            and not explicit("--denoising-step-list"):
+        args.denoising_step_list = ",".join(
+            str(int(t)) for t in run_cfg["denoising_step_list"])
+    # objective: `trainer: diffusion` -> teacher_forcing;
+    # `trainer: score_distillation` -> distribution_loss (dmd/sid/...);
+    # our own configs may name the objective directly (`trainer: dmd`)
+    tr = run_cfg.get("trainer")
+    obj = {"diffusion": "teacher_forcing",
+           "score_distillation": run_cfg.get("distribution_loss", "dmd"),
+           }.get(tr, tr)
+    if obj and not explicit("--objective"):
+        args.objective = obj
+    return args
+
+
 def main(argv=None):
-    args = parse_args(argv)
+    args = apply_run_config(parse_args(argv), argv)
     import jax
     from mmpl_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -285,6 +355,7 @@ def main(argv=None):
                             denoising_step_list=tuple(
                                 int(s) for s in
                                 args.denoising_step_list.split(",")),
+                            context_noise=args.context_noise,
                             num_frame_per_block=3,
                             num_max_frames=F, grad_frame_window=F,
                             rolling=args.rolling,
@@ -293,6 +364,7 @@ def main(argv=None):
                             independent_first_frame=iff)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
+        real_guidance_scale=args.real_guidance_scale,
         fake_guidance_scale=args.fake_guidance_scale,
         window_frames=F if max_F > F else None,
         remat_offload=args.remat_offload), ro, sch)
