@@ -918,3 +918,24 @@ def test_train_config_yaml_merge():
         a2 = train.apply_run_config(train.parse_args(argv2), argv2)
         assert a2.objective == "dmd" and a2.warp_denoising_step is True
         assert a2.lr == 2.0e-06 and a2.real_guidance_scale == 3.0
+
+
+def test_train_cli_generator_ckpt_init(tmp_path):
+    """train.py --generator-ckpt: distillation starts from an exported
+    MMPL .pt (the reference's generator_ckpt: ode_init.pt flow,
+    configs/self_forcing_dmd.yaml) instead of random init."""
+    import importlib
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    pt = str(tmp_path / "init.pt")
+    assert train.main(["--objective", "dmd", "--steps", "1", "--smoke",
+                       "--num-frames", "6", "--dfake-gen-update-ratio",
+                       "1", "--export-pt", pt,
+                       "--log-dir", str(tmp_path / "r1")]) == 0
+    assert train.main(["--objective", "dmd", "--steps", "1", "--smoke",
+                       "--num-frames", "6", "--dfake-gen-update-ratio",
+                       "1", "--generator-ckpt", pt,
+                       "--log-dir", str(tmp_path / "r2")]) == 0

@@ -71,6 +71,18 @@ def parse_args(argv=None):
     p.add_argument("--context-noise", type=int, default=0,
                    help="timestep at which clean context is committed to "
                         "the rollout cache (default_config.yaml)")
+    p.add_argument("--generator-ckpt", default=None,
+                   help="init the generator from an MMPL .pt "
+                        "({'generator','generator_ema'} — e.g. the "
+                        "ODE-init or TF checkpoint; configs "
+                        "generator_ckpt)")
+    p.add_argument("--wan-dir", default=None,
+                   help="base Wan weights (diffusers dir / state-dict "
+                        "file) for the frozen real_score and the "
+                        "fake_score init (wan_wrapper.py:25-31,128-133)")
+    p.add_argument("--vae-path", default=None,
+                   help="Wan2.1_VAE.pth for the long-rollout last-window "
+                        "pixel re-encode (base.py:155-165)")
     p.add_argument("--config", default=None,
                    help="YAML run config (the reference's OmegaConf style, "
                         "configs/*.yaml) merged over flag defaults; "
@@ -117,6 +129,7 @@ _CONFIG_KEYS = {
                                 "independent_first_frame", bool),
     "warp_denoising_step": ("--warp-denoising-step",
                             "warp_denoising_step", bool),
+    "generator_ckpt": ("--generator-ckpt", "generator_ckpt", str),
 }
 
 
@@ -182,7 +195,12 @@ def main(argv=None):
     lat_hw = (4, 4) if args.smoke else (60, 104)
 
     key = set_seed(args.seed)
-    params = dit.init_dit_params(key, cfg, jnp.float32)
+    if args.generator_ckpt:
+        from mmpl_tpu.utils.checkpoint import load_mmpl_generator
+        params = load_mmpl_generator(args.generator_ckpt, cfg)
+        print(f"generator <- {args.generator_ckpt}", file=sys.stderr)
+    else:
+        params = dit.init_dit_params(key, cfg, jnp.float32)
     from mmpl_tpu.utils.metrics import MetricsLogger
     metrics = MetricsLogger(args.log_dir, args.run_name, config=vars(args))
 
@@ -362,16 +380,32 @@ def main(argv=None):
                             remat_offload=args.remat_offload,
                             warp_denoising_step=args.warp_denoising_step,
                             independent_first_frame=iff)
+    vae_params = None
+    if args.vae_path:
+        from mmpl_tpu.utils.checkpoint import load_vae
+        vae_params = load_vae(args.vae_path)
+        print(f"vae <- {args.vae_path}", file=sys.stderr)
     dist = Distiller(cfg, DistillationConfig(
         timestep_shift=args.timestep_shift,
         real_guidance_scale=args.real_guidance_scale,
         fake_guidance_scale=args.fake_guidance_scale,
         window_frames=F if max_F > F else None,
-        remat_offload=args.remat_offload), ro, sch)
+        remat_offload=args.remat_offload), ro, sch,
+        vae_params=vae_params)
+    # the reference initialises BOTH scores from the base Wan weights
+    # and freezes real_score (base.py:26-46, wan_wrapper.py:128-133)
+    if args.wan_dir:
+        from mmpl_tpu.utils.checkpoint import load_wan_dit
+        base = load_wan_dit(args.wan_dir, cfg)
+        print(f"scores <- {args.wan_dir}", file=sys.stderr)
+        fake0 = base
+    else:
+        base = None
+        fake0 = dit.init_dit_params(jax.random.PRNGKey(10), cfg,
+                                    jnp.float32)
     models = {
         "generator": params,
-        "fake_score": dit.init_dit_params(jax.random.PRNGKey(10), cfg,
-                                          jnp.float32),
+        "fake_score": fake0,
     }
     if args.objective == "gan":
         # classify-mode head on the fake score (model/gan.py:28-29,
@@ -384,8 +418,8 @@ def main(argv=None):
         critic_loss = dist.gan_critic_loss
         critic_keys = ("fake_score", "gan_head")
     else:
-        models["real_score"] = dit.init_dit_params(jax.random.PRNGKey(11),
-                                                   cfg, jnp.float32)
+        models["real_score"] = base if base is not None else \
+            dit.init_dit_params(jax.random.PRNGKey(11), cfg, jnp.float32)
         gen_loss = getattr(dist, f"{args.objective}_generator_loss")
         critic_loss = dist.critic_loss
         critic_keys = ("fake_score",)
