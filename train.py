@@ -195,10 +195,17 @@ def main(argv=None):
     lat_hw = (4, 4) if args.smoke else (60, 104)
 
     key = set_seed(args.seed)
+    # generator init order: MMPL fine-tune .pt > base Wan weights > random
+    # (teacher forcing / ODE regression start from the base model,
+    # distillation from the ODE-init or TF checkpoint)
     if args.generator_ckpt:
         from mmpl_tpu.utils.checkpoint import load_mmpl_generator
         params = load_mmpl_generator(args.generator_ckpt, cfg)
         print(f"generator <- {args.generator_ckpt}", file=sys.stderr)
+    elif args.wan_dir:
+        from mmpl_tpu.utils.checkpoint import load_wan_dit
+        params = load_wan_dit(args.wan_dir, cfg)
+        print(f"generator <- {args.wan_dir}", file=sys.stderr)
     else:
         params = dit.init_dit_params(key, cfg, jnp.float32)
     from mmpl_tpu.utils.metrics import MetricsLogger
