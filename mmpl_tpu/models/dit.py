@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.attention import attention
 from ..ops.rope import apply_rope, apply_rope_split, window_rope_table
