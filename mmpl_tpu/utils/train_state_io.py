@@ -35,8 +35,14 @@ def restore_checkpoint(path: str,
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
+        # carry the template's shardings: orbax then restores without
+        # consulting the checkpoint's _sharding file, which this orbax
+        # version writes INCOMPLETELY for some pytrees (observed: q/k
+        # bias + q/k norm leaves absent -> NOT_FOUND on restore)
         shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template)
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+            template)
         return ckptr.restore(path, shapes)
     return ckptr.restore(path)
 

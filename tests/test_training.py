@@ -939,3 +939,35 @@ def test_train_cli_generator_ckpt_init(tmp_path):
                        "--num-frames", "6", "--dfake-gen-update-ratio",
                        "1", "--generator-ckpt", pt,
                        "--log-dir", str(tmp_path / "r2")]) == 0
+
+
+def test_train_cli_resume_matches_uninterrupted(tmp_path):
+    """train.py --resume: a run checkpointed at step 2 and resumed to
+    step 4 produces the SAME exported generator as the uninterrupted
+    4-step run (state + RNG streams both restored)."""
+    import importlib
+    import os as _os
+    import sys as _sys
+    import torch
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    pt_full = str(tmp_path / "full.pt")
+    pt_res = str(tmp_path / "resumed.pt")
+    base = ["--objective", "teacher_forcing", "--smoke",
+            "--num-frames", "6", "--lr", "1e-3"]
+    assert train.main(base + ["--steps", "4", "--ckpt-every", "2",
+                              "--ckpt-dir", str(tmp_path / "ck"),
+                              "--export-pt", pt_full,
+                              "--log-dir", str(tmp_path / "r1")]) == 0
+    assert train.main(base + ["--steps", "4",
+                              "--resume", str(tmp_path / "ck" / "step2"),
+                              "--export-pt", pt_res,
+                              "--log-dir", str(tmp_path / "r2")]) == 0
+    a = torch.load(pt_full, map_location="cpu", weights_only=False)
+    b = torch.load(pt_res, map_location="cpu", weights_only=False)
+    for key in ("generator", "generator_ema"):
+        for name, ta in a[key].items():
+            np.testing.assert_allclose(ta.numpy(), b[key][name].numpy(),
+                                       atol=0, rtol=0,
+                                       err_msg=f"{key}.{name}")

@@ -93,6 +93,11 @@ def parse_args(argv=None):
                    help="JSONL metrics directory (utils/metrics.py)")
     p.add_argument("--run-name", default=None)
     p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--resume", default=None,
+                   help="orbax checkpoint dir (a --ckpt-dir stepN) to "
+                        "resume models/optimizers/EMA/step from; the RNG "
+                        "streams are fast-forwarded so a resumed run "
+                        "matches an uninterrupted one")
     p.add_argument("--export-pt", default=None,
                    help="also export generator to the reference .pt format")
     p.add_argument("--mesh", default=None,
@@ -263,8 +268,25 @@ def main(argv=None):
                         (args.batch_size, cfg.text_len, cfg.text_dim)),
                 }
 
+        start_step = 0
+        if args.resume:
+            from mmpl_tpu.utils.train_state_io import restore_checkpoint
+            st = restore_checkpoint(args.resume, {
+                "params": trainer.params, "opt_state": trainer.opt_state,
+                "ema": ema.shadow, "step": jnp.asarray(0)})
+            like = lambda v, r: jax.tree.map(
+                lambda a, b: jax.device_put(a, b.sharding), v, r)
+            trainer.params = like(st["params"], trainer.params)
+            trainer.opt_state = like(st["opt_state"], trainer.opt_state)
+            ema.shadow = like(st["ema"], ema.shadow)
+            start_step = int(st["step"])
+            print(f"resumed at step {start_step} <- {args.resume}",
+                  file=sys.stderr)
+
         rng = jax.random.PRNGKey(args.seed + 1)
-        for step in range(args.steps):
+        for _ in range(start_step):       # replay the per-step rng splits
+            rng, _ = jax.random.split(rng)
+        for step in range(start_step, args.steps):
             rng, sub = jax.random.split(rng)
             t0 = time.time()
             loss = trainer.train_step(next_batch(step), sub)
@@ -455,11 +477,32 @@ def main(argv=None):
         upd, opt_c = tx.update(grads, opt_c, cparams)
         return optax.apply_updates(cparams, upd), opt_c, loss
 
+    start_step = 0
+    if args.resume:
+        from mmpl_tpu.utils.train_state_io import restore_checkpoint
+        st = restore_checkpoint(args.resume, {
+            "models": models, "opt_g": opt_g, "opt_c": opt_c,
+            "ema": ema.shadow, "step": jnp.asarray(0)})
+        like = lambda v, r: jax.tree.map(
+            lambda a, b: jax.device_put(a, b.sharding), v, r)
+        models = like(st["models"], models)
+        opt_g = like(st["opt_g"], opt_g)
+        opt_c = like(st["opt_c"], opt_c)
+        ema.shadow = like(st["ema"], ema.shadow)
+        start_step = int(st["step"])
+        print(f"resumed at step {start_step} <- {args.resume}",
+              file=sys.stderr)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     # host-side length sampler, seeded identically on every dp host (the
     # dist.broadcast analogue — self_forcing.sample_num_frames)
     len_rng = np.random.default_rng(args.seed + 2)
-    for step in range(args.steps):
+    for _ in range(start_step):           # replay the per-step rng draws
+        rng = jax.random.split(rng, 5)[0]
+        if max_F > F:
+            sample_num_frames(len_rng, F, max_F,
+                              independent_first_frame=iff)
+    for step in range(start_step, args.steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
         F_roll = sample_num_frames(
             len_rng, F, max_F,
