@@ -372,8 +372,22 @@ def main(argv=None):
             upd, opt = tx.update(grads, opt, params)
             return optax.apply_updates(params, upd), opt, loss
 
+        start_step = 0
+        if args.resume:
+            from mmpl_tpu.utils.train_state_io import restore_checkpoint
+            st = restore_checkpoint(args.resume, {
+                "params": params, "opt_state": opt, "step": jnp.asarray(0)})
+            like = lambda v, r: jax.tree.map(
+                lambda a, b: jax.device_put(a, b.sharding), v, r)
+            params, opt = like(st["params"], params), \
+                like(st["opt_state"], opt)
+            start_step = int(st["step"])
+            print(f"resumed at step {start_step} <- {args.resume}",
+                  file=sys.stderr)
         rng = jax.random.PRNGKey(args.seed + 1)
-        for step in range(args.steps):
+        for _ in range(start_step):
+            rng = jax.random.split(rng)[0]
+        for step in range(start_step, args.steps):
             rng, sub = jax.random.split(rng)
             ode_latent, ctx = next_ode(step)
             t0 = time.time()
@@ -382,6 +396,12 @@ def main(argv=None):
             metrics.log(step, loss=float(loss), step_s=dt)
             print(f"step {step}: loss={float(loss):.5f} ({dt:.2f}s)",
                   file=sys.stderr, flush=True)
+            if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+                from mmpl_tpu.utils.train_state_io import save_checkpoint
+                save_checkpoint(
+                    os.path.join(args.ckpt_dir, f"step{step+1}"),
+                    {"params": params, "opt_state": opt,
+                     "step": jnp.asarray(step + 1)})
         if args.export_pt:
             from mmpl_tpu.utils.train_state_io import export_generator_pt
             export_generator_pt(args.export_pt, params, params, cfg)
