@@ -41,7 +41,23 @@ def main(argv=None):
                         "(jax.distributed init; see parallel/mesh.py)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--config", default=None,
+                   help="YAML run config (reference OmegaConf style): "
+                        "merges model_name / timestep_shift / "
+                        "guidance_scale over flag defaults")
     args = p.parse_args(argv)
+    if args.config:
+        from mmpl_tpu.core.config import load_config
+        default = os.path.join(os.path.dirname(args.config),
+                               "default_config.yaml")
+        run_cfg = load_config(args.config,
+                              default if os.path.exists(default) else None)
+        if args.model != "smoke":      # explicit smoke wins over config
+            args.model = run_cfg.get("model_name", args.model)
+        args.timestep_shift = run_cfg.get("timestep_shift",
+                                          args.timestep_shift)
+        args.guidance_scale = run_cfg.get("guidance_scale",
+                                          args.guidance_scale)
     if not 1 <= args.num_chunks <= 12:
         print("error: --num-chunks must be in [1, 12] "
               "(Wan_fps_inference_parallel_4gpu_5-60s.py:276-394)",
