@@ -133,10 +133,13 @@ class SelfForcingRollout:
 
         cap = self.num_max_frames
         rolling = self.rolling and total > cap
-        # rolling needs block-aligned geometry: the steady-state scan
-        # assumes the cache is exactly full (cap frames written) on entry
-        assert not rolling or (cap % nb == 0 and n_init % nb == 0
-                               and first == 0), (cap, nb, n_init, first)
+        # rolling needs the cache EXACTLY full when the steady-state scan
+        # takes over: the absolute-slot prefix (n_init initial frames,
+        # optional 1-frame i2v first block, then nb-blocks) must land on
+        # cap, after which each scanned block slides the window by nb
+        assert not rolling or (
+            cap >= n_init + first
+            and (cap - n_init - first) % nb == 0), (cap, nb, n_init, first)
         cache = init_kv_cache(cfg, B, H * W // 4,
                               num_slots=cap if rolling
                               else max(total, cap),

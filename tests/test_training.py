@@ -971,3 +971,34 @@ def test_train_cli_resume_matches_uninterrupted(tmp_path):
             np.testing.assert_allclose(ta.numpy(), b[key][name].numpy(),
                                        atol=0, rtol=0,
                                        err_msg=f"{key}.{name}")
+
+
+def test_rolling_iff_truncation_equivalence():
+    """Rolling + independent_first_frame: the scanned sliding-window path
+    must match the unrolled truncated path for the i2v [1, nb, ...] plan
+    (single step, zero context noise -> rng-free)."""
+    from mmpl_tpu.training.self_forcing import SelfForcingRollout
+    cfg = tiny_test_config()
+    sch = FlowMatchScheduler(shift=8.0, sigma_min=0.0, extra_one_step=True)
+    sch.set_timesteps(1000, training=True)
+    params = randomize_head(
+        dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.text_len, cfg.text_dim))
+    ctx_kv = dit.precompute_context_kv(params, cfg,
+                                       dit.embed_text(params, ctx))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 13, 16, 8, 8))
+    outs = {}
+    for rolling in (False, True):
+        ro = SelfForcingRollout(cfg, sch, denoising_step_list=(1000,),
+                                num_frame_per_block=3, context_noise=0,
+                                num_max_frames=7, grad_frame_window=13,
+                                rolling=rolling,
+                                independent_first_frame=True)
+        flags = ro.sample_exit_flags(jax.random.PRNGKey(3),
+                                     ro.num_blocks(13))
+        outs[rolling], _, _ = ro.rollout(params, ctx_kv, noise, flags,
+                                         jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               atol=2e-3, rtol=2e-3)
