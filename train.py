@@ -65,6 +65,10 @@ def parse_args(argv=None):
                    help="i2v [1, nb, nb, ...] rollout plan: the first "
                         "generated frame is its own block "
                         "(self_forcing_training.py:68-74)")
+    p.add_argument("--ts-schedule", type=int, choices=[0, 1], default=1,
+                   help="sample score timesteps from [t_to, max] "
+                        "(dmd.py ts_schedule; the reference's dmd config "
+                        "sets false)")
     p.add_argument("--real-guidance-scale", type=float, default=5.0,
                    help="CFG on the frozen real score "
                         "(configs guidance_scale)")
@@ -128,6 +132,8 @@ _CONFIG_KEYS = {
     "context_noise": ("--context-noise", "context_noise", int),
     "guidance_scale": ("--real-guidance-scale", "real_guidance_scale",
                        float),
+    "ts_schedule": ("--ts-schedule", "ts_schedule",
+                    lambda v: int(bool(v))),
     "fake_guidance_scale": ("--fake-guidance-scale",
                             "fake_guidance_scale", float),
     "independent_first_frame": ("--independent-first-frame",
@@ -438,6 +444,7 @@ def main(argv=None):
         timestep_shift=args.timestep_shift,
         real_guidance_scale=args.real_guidance_scale,
         fake_guidance_scale=args.fake_guidance_scale,
+        ts_schedule=bool(args.ts_schedule),
         window_frames=F if max_F > F else None,
         remat_offload=args.remat_offload), ro, sch,
         vae_params=vae_params)
