@@ -34,9 +34,18 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr-critic", type=float, default=None,
+                   help="fake-score/discriminator learning rate (configs "
+                        "lr_critic; defaults to --lr)")
     p.add_argument("--ema-decay", type=float, default=0.999)
+    p.add_argument("--ema-start-step", type=int, default=0,
+                   help="start EMA accumulation at this step (configs "
+                        "ema_start_step)")
     p.add_argument("--timestep-shift", type=float, default=8.0)
     p.add_argument("--num-frames", type=int, default=21)
+    p.add_argument("--num-frame-per-block", type=int, default=3,
+                   help="AR block size (3 for t2v, 4 for the i2v "
+                        "[1,4,4,...] plan — configs num_frame_per_block)")
     p.add_argument("--num-training-frames", type=int, default=None,
                    help="distillation: max rollout length; each step "
                         "samples a length in [--num-frames, this] in whole "
@@ -65,6 +74,13 @@ def parse_args(argv=None):
                    help="i2v [1, nb, nb, ...] rollout plan: the first "
                         "generated frame is its own block "
                         "(self_forcing_training.py:68-74)")
+    p.add_argument("--same-step-across-blocks", type=int, choices=[0, 1],
+                   default=1,
+                   help="one shared exit flag for every rollout block "
+                        "(configs same_step_across_blocks)")
+    p.add_argument("--last-step-only", action="store_true",
+                   help="always exit the rollout at the final denoising "
+                        "step (configs last_step_only)")
     p.add_argument("--ts-schedule", type=int, choices=[0, 1], default=1,
                    help="sample score timesteps from [t_to, max] "
                         "(dmd.py ts_schedule; the reference's dmd config "
@@ -134,6 +150,14 @@ _CONFIG_KEYS = {
                        float),
     "ts_schedule": ("--ts-schedule", "ts_schedule",
                     lambda v: int(bool(v))),
+    "same_step_across_blocks": ("--same-step-across-blocks",
+                                "same_step_across_blocks",
+                                lambda v: int(bool(v))),
+    "last_step_only": ("--last-step-only", "last_step_only", bool),
+    "lr_critic": ("--lr-critic", "lr_critic", float),
+    "ema_start_step": ("--ema-start-step", "ema_start_step", int),
+    "num_frame_per_block": ("--num-frame-per-block",
+                            "num_frame_per_block", int),
     "fake_guidance_scale": ("--fake-guidance-scale",
                             "fake_guidance_scale", float),
     "independent_first_frame": ("--independent-first-frame",
@@ -231,7 +255,8 @@ def main(argv=None):
             sch.set_timesteps(1000, training=True)
             fm = masks.fps_forcing_frame_mask(T2V_CLEAN_STEPS[:F])
             loss_fn = make_teacher_forcing_loss_fn(
-                cfg, sch, fm, num_frame_per_block=3,
+                cfg, sch, fm,
+                num_frame_per_block=args.num_frame_per_block,
                 noise_aug_max_timestep=args.noise_aug_max,
                 remat_offload=args.remat_offload)
         mesh = None
@@ -421,15 +446,19 @@ def main(argv=None):
                                                 sample_num_frames)
     max_F = args.num_training_frames or F
     iff = args.independent_first_frame
+    nb = args.num_frame_per_block
     off = 1 if iff else 0
-    assert max_F >= F and (max_F - off) % 3 == 0 and (F - off) % 3 == 0, \
-        (F, max_F, off)
+    assert max_F >= F and (max_F - off) % nb == 0 and (F - off) % nb == 0, \
+        (F, max_F, off, nb)
     ro = SelfForcingRollout(cfg, sch,
                             denoising_step_list=tuple(
                                 int(s) for s in
                                 args.denoising_step_list.split(",")),
                             context_noise=args.context_noise,
-                            num_frame_per_block=3,
+                            num_frame_per_block=nb,
+                            same_step_across_blocks=bool(
+                                args.same_step_across_blocks),
+                            last_step_only=args.last_step_only,
                             num_max_frames=F, grad_frame_window=F,
                             rolling=args.rolling,
                             remat_offload=args.remat_offload,
@@ -481,8 +510,10 @@ def main(argv=None):
         critic_keys = ("fake_score",)
 
     tx = optax.adamw(args.lr)
+    tx_c = optax.adamw(args.lr_critic
+                       if args.lr_critic is not None else args.lr)
     opt_g = tx.init(models["generator"])
-    opt_c = tx.init({k: models[k] for k in critic_keys})
+    opt_c = tx_c.init({k: models[k] for k in critic_keys})
     # generator EMA — the released checkpoints carry 'generator_ema'
     # (Wan_fps_inference_1gpu.py:66-68, configs/self_forcing_dmd.yaml ema)
     ema = EmaParams(models["generator"], decay=args.ema_decay)
@@ -501,7 +532,7 @@ def main(argv=None):
         (loss, _), grads = jax.value_and_grad(
             lambda c: critic_loss({**models, **c}, batch, rng),
             has_aux=True)(cparams)
-        upd, opt_c = tx.update(grads, opt_c, cparams)
+        upd, opt_c = tx_c.update(grads, opt_c, cparams)
         return optax.apply_updates(cparams, upd), opt_c, loss
 
     start_step = 0
@@ -527,12 +558,12 @@ def main(argv=None):
     for _ in range(start_step):           # replay the per-step rng draws
         rng = jax.random.split(rng, 5)[0]
         if max_F > F:
-            sample_num_frames(len_rng, F, max_F,
+            sample_num_frames(len_rng, F, max_F, num_frame_per_block=nb,
                               independent_first_frame=iff)
     for step in range(start_step, args.steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
         F_roll = sample_num_frames(
-            len_rng, F, max_F,
+            len_rng, F, max_F, num_frame_per_block=nb,
             independent_first_frame=iff) if max_F > F else F
         ctx = jax.random.normal(k1, (args.batch_size, cfg.text_len,
                                      cfg.text_dim))
@@ -557,7 +588,8 @@ def main(argv=None):
         if (step + 1) % args.dfake_gen_update_ratio == 0:
             models["generator"], opt_g, gloss = gen_step(models, opt_g,
                                                          batch, k3)
-            ema.update(models["generator"])
+            if step >= args.ema_start_step:
+                ema.update(models["generator"])
             line += f" gen={float(gloss):.5f}"
             scalars["gen_loss"] = float(gloss)
         scalars["step_s"] = time.time() - t0
