@@ -192,6 +192,14 @@ def apply_run_config(args, argv=None):
             and not explicit("--denoising-step-list"):
         args.denoising_step_list = ",".join(
             str(int(t)) for t in run_cfg["denoising_step_list"])
+    # image_or_video_shape: [B, F_latent, C, H, W]
+    # (default_config.yaml: [1, 21, 16, 60, 104])
+    shp = run_cfg.get("image_or_video_shape")
+    if shp and len(shp) >= 2:
+        if not explicit("--batch-size"):
+            args.batch_size = int(shp[0])
+        if not explicit("--num-frames"):
+            args.num_frames = int(shp[1])
     # objective: `trainer: diffusion` -> teacher_forcing;
     # `trainer: score_distillation` -> distribution_loss (dmd/sid/...);
     # our own configs may name the objective directly (`trainer: dmd`)
