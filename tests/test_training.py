@@ -918,6 +918,11 @@ def test_train_config_yaml_merge():
         a2 = train.apply_run_config(train.parse_args(argv2), argv2)
         assert a2.objective == "dmd" and a2.warp_denoising_step is True
         assert a2.lr == 2.0e-06 and a2.real_guidance_scale == 3.0
+        assert a2.lr_critic == 4.0e-07 and a2.ema_start_step == 200
+        assert a2.ts_schedule == 0 and a2.num_frame_per_block == 3
+        assert a2.num_frames == 21 and a2.batch_size == 1
+        assert a2.same_step_across_blocks == 1
+        assert a2.last_step_only is False
 
 
 def test_train_cli_generator_ckpt_init(tmp_path):
