@@ -517,6 +517,22 @@ def main(argv=None):
         critic_loss = dist.critic_loss
         critic_keys = ("fake_score",)
 
+    mesh = None
+    if args.mesh:
+        from mmpl_tpu.parallel.mesh import (batch_sharding,
+                                            dit_param_shardings, make_mesh,
+                                            replicate)
+        shape = {k: int(v) for k, v in
+                 (kv.split("=") for kv in args.mesh.split(","))}
+        mesh = make_mesh(shape)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              file=sys.stderr)
+        # (dp, fsdp, tp)-shard all models (the full-depth path: sharded
+        # DMD == replicated, tests/test_parallel.py); optimizer states
+        # inherit the shardings through init
+        models = {k: jax.device_put(v, dit_param_shardings(mesh, v))
+                  for k, v in models.items()}
+
     tx = optax.adamw(args.lr)
     tx_c = optax.adamw(args.lr_critic
                        if args.lr_critic is not None else args.lr)
@@ -588,6 +604,14 @@ def main(argv=None):
             # real samples: dataset latents, or synthetic in smoke mode
             batch["real_latents"] = jax.random.normal(
                 k4, (args.batch_size, F, 16, *lat_hw))
+        if mesh is not None:
+            dp = mesh.shape.get("dp", 1)
+            batch = {k: jax.device_put(
+                v, batch_sharding(mesh, v.ndim)
+                if (isinstance(v, jnp.ndarray) and v.ndim >= 2
+                    and v.shape[0] == args.batch_size
+                    and args.batch_size % dp == 0) else replicate(mesh))
+                for k, v in batch.items()}
         t0 = time.time()
         new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
         models.update(new_c)
