@@ -65,6 +65,81 @@ def restore_params(params: Any, shardings: Optional[Any] = None,
     return jax.tree.map(back, params)
 
 
+def supports_host_compute_offload() -> bool:
+    """True where jitted computations may read/write pinned-host operands
+    (XLA inserts the device<->host streams).  TPU only: the CPU backend
+    accepts pinned_host `device_put` but has no `annotate_device_placement`
+    lowering, so jit in/out shardings with a host memory kind fail there."""
+    return jax.default_backend() == "tpu"
+
+
+def host_opt_state(opt_state: Any) -> Any:
+    """Park an optimizer state in pinned host memory (ZeRO-Offload's
+    optimizer-state placement, TPU-native).  The returned pytree can be
+    passed straight back into a jitted update step: XLA streams each leaf
+    to HBM for its elementwise update and back, so peak HBM holds params +
+    grads but never the full first/second moments.  This is what lets the
+    full-depth three-model distillation step fit one 16 GB chip (params
+    alone are 8.4 GB at 30 layers; two resident AdamW states add 5.6 GB).
+
+    Pair with `stream_to_device`/`stream_to_host` inside the jitted update
+    step (jax 0.9 memory spaces are typed — host operands must be moved
+    explicitly).  No-op (returns the input) on backends without host
+    compute offload, so callers can use it unconditionally.  Reference
+    analogue: FSDP `cpu_offload` (MMPL_t2v/utils/distributed.py:23-68).
+    """
+    if not supports_host_compute_offload():
+        return opt_state
+
+    def off(leaf):
+        if isinstance(leaf, jax.Array) and _supports_memory_kind(
+                leaf, "pinned_host"):
+            return jax.device_put(
+                leaf, leaf.sharding.with_memory_kind("pinned_host"))
+        return leaf
+    return jax.tree.map(off, opt_state)
+
+
+def host_opt_init(tx, params: Any) -> Any:
+    """`tx.init(params)` with the state born in pinned host memory.
+
+    Plain `tx.init` materializes the full first/second moments in HBM
+    before `host_opt_state` can park them (5.2 GB per AdamW state at
+    1.3B — at 30 layers the two states OOM the chip during init, before
+    any step runs).  Here the zeros materialize inside one jitted program
+    and stream straight out, so peak HBM holds params + ONE transient
+    state.  Falls back to plain init off-TPU."""
+    if not supports_host_compute_offload():
+        return tx.init(params)
+    return jax.jit(lambda p: stream_to_host(tx.init(p)))(params)
+
+
+def stream_to_device(tree: Any) -> Any:
+    """INSIDE jit: emit host->HBM transfers for a host-parked pytree
+    (jax 0.9 memory spaces are part of the array type — a pinned-host
+    operand must be explicitly moved before it can feed device compute).
+    XLA schedules the per-leaf copies; pair with `stream_to_host` on the
+    updated values so the full state never sits in HBM at step boundaries.
+
+    The optimization barrier keeps the copies un-fused from their
+    consumers: the TPU fusion emitter can only DMA HBM/CMEM operands
+    (`fusion_util.cc` check), so a host-side endpoint must see a pure
+    copy, not a fusion window."""
+    from jax.memory import Space
+    moved = jax.tree.map(lambda x: jax.device_put(x, Space.Device), tree)
+    return jax.lax.optimization_barrier(moved)
+
+
+def stream_to_host(tree: Any) -> Any:
+    """INSIDE jit: write a pytree back to pinned host memory (inverse of
+    `stream_to_device`; same barrier rationale — the HBM value must be
+    materialized before the HBM->host copy, or XLA fuses the producer
+    into a host-destined output window and the TPU compiler aborts)."""
+    from jax.memory import Space
+    tree = jax.lax.optimization_barrier(tree)
+    return jax.tree.map(lambda x: jax.device_put(x, Space.Host), tree)
+
+
 def hbm_bytes_in_use(device=None) -> Optional[int]:
     """Live HBM usage of a device (get_cuda_free_memory_gb analogue,
     demo_utils/memory.py:72-83); None where the backend has no stats."""

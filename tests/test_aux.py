@@ -356,6 +356,41 @@ def test_host_offload_roundtrip():
     free_hbm_gb()
 
 
+def test_host_opt_state_fallback_and_ema_offload():
+    """Optimizer-state host offload (ZeRO-Offload placement; FSDP
+    cpu_offload role, utils/distributed.py:23-68).  On CPU the offload is
+    a typed no-op — the update must be bit-identical with and without the
+    flag; on TPU the same code streams pinned-host leaves through HBM
+    (validated on-chip by tools/distill_probe.py DISTILL_OPT_HOST=1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from mmpl_tpu.utils.ema import EmaParams
+    from mmpl_tpu.utils.memory import (host_opt_state,
+                                       supports_host_compute_offload)
+
+    assert not supports_host_compute_offload()  # CPU test backend
+    params = {"w": jnp.arange(8.0).reshape(2, 4), "b": jnp.ones((4,))}
+    grads = jax.tree.map(lambda x: 0.1 * jnp.ones_like(x), params)
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    opt_h = host_opt_state(opt)          # no-op off-TPU
+    upd_a, _ = tx.update(grads, opt, params)
+    upd_b, _ = tx.update(grads, opt_h, params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), upd_a, upd_b)
+
+    ema_plain = EmaParams(params, decay=0.9)
+    ema_off = EmaParams(params, decay=0.9, offload=True)
+    new = jax.tree.map(lambda x: x + 1.0, params)
+    ema_plain.update(new)
+    ema_off.update(new)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        ema_plain.copy_to(), ema_off.copy_to())
+
+
 def test_metrics_logger(tmp_path):
     """JSONL metrics logging (inventory row 55): per-step records +
     config.json; wandb mirrored only when available (gated)."""

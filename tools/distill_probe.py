@@ -19,6 +19,7 @@ length.
 import os
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("MMPL_STEPS_PER_PROGRAM", "10")
 
@@ -99,25 +100,44 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
         crit_loss = dist.critic_loss
         critic_keys = ("fake_score",)
     tx = optax.adamw(1e-5)
-    opt_g = tx.init(models["generator"])
-    opt_c = tx.init({k: models[k] for k in critic_keys})
+    opt_host = os.environ.get("DISTILL_OPT_HOST", "0") == "1"
+    if opt_host:
+        from mmpl_tpu.utils.memory import (host_opt_init, stream_to_device,
+                                           stream_to_host)
+        opt_g = host_opt_init(tx, models["generator"])
+        opt_c = host_opt_init(tx, {k: models[k] for k in critic_keys})
+        log("optimizer states: pinned_host (streamed per-leaf updates)")
+    else:
+        opt_g = tx.init(models["generator"])
+        opt_c = tx.init({k: models[k] for k in critic_keys})
 
-    @jax.jit
+    def opt_update(tx_, grads, opt, params):
+        if opt_host:
+            opt = stream_to_device(opt)
+        upd, opt = tx_.update(grads, opt, params)
+        return upd, stream_to_host(opt) if opt_host else opt
+
+    # NEVER donate host-parked buffers: donation aliases by shape across
+    # memory spaces, so a donated pinned-host moment buffer can back a
+    # device-computed param output -> "moved to host" compile aborts
+    donate = () if opt_host else (1,)
+
+    @partial(jax.jit, donate_argnums=donate)
     def gen_step(models, opt_g, batch, rng):
         (loss, _), grads = jax.value_and_grad(
             lambda g: gen_loss(
                 {**models, "generator": g}, batch, rng),
             has_aux=True)(models["generator"])
-        upd, opt_g = tx.update(grads, opt_g, models["generator"])
+        upd, opt_g = opt_update(tx, grads, opt_g, models["generator"])
         return optax.apply_updates(models["generator"], upd), opt_g, loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=donate)
     def critic_step(models, opt_c, batch, rng):
         c = {k: models[k] for k in critic_keys}
         (loss, _), grads = jax.value_and_grad(
             lambda cc: crit_loss({**models, **cc}, batch, rng),
             has_aux=True)(c)
-        upd, opt_c = tx.update(grads, opt_c, c)
+        upd, opt_c = opt_update(tx, grads, opt_c, c)
         return {k: v for k, v in optax.apply_updates(c, upd).items()}, \
             opt_c, loss
 
@@ -137,6 +157,16 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
         if objective == "gan":
             batch["real_latents"] = jax.random.normal(
                 jax.random.fold_in(k3, 99), (B, F, 16, *lat_hw))
+        if step == 0 and os.environ.get("DISTILL_MEMSTATS", "0") == "1":
+            for name, fn, a in (("critic", critic_step, opt_c),
+                                ("gen", gen_step, opt_g)):
+                m = fn.lower(models, a, batch, k3).compile() \
+                    .memory_analysis()
+                log(f"{name} memory: args={m.argument_size_in_bytes/2**30:.2f}G "
+                    f"out={m.output_size_in_bytes/2**30:.2f}G "
+                    f"temp={m.temp_size_in_bytes/2**30:.2f}G "
+                    f"gen={m.generated_code_size_in_bytes/2**20:.0f}M "
+                    f"alias={m.alias_size_in_bytes/2**30:.2f}G")
         new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
         closs = float(closs)
         t_c = time.perf_counter() - t0

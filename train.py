@@ -18,6 +18,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -59,6 +60,13 @@ def parse_args(argv=None):
                    help="park per-layer boundary activations in pinned "
                         "host memory during backward (full-depth "
                         "single-chip training; demo_utils/memory.py role)")
+    p.add_argument("--offload-opt", action="store_true",
+                   help="keep optimizer states + the EMA shadow in pinned "
+                        "host memory, streamed per-leaf through HBM at "
+                        "update time (ZeRO-Offload placement; with "
+                        "--remat-offload this is what fits full-depth "
+                        "three-model distillation on one 16 GB chip — "
+                        "FSDP cpu_offload role, utils/distributed.py:23-68)")
     p.add_argument("--noise-aug-max", type=int, default=100)
     p.add_argument("--dfake-gen-update-ratio", type=int, default=5)
     p.add_argument("--fake-guidance-scale", type=float, default=0.0,
@@ -536,27 +544,51 @@ def main(argv=None):
     tx = optax.adamw(args.lr)
     tx_c = optax.adamw(args.lr_critic
                        if args.lr_critic is not None else args.lr)
-    opt_g = tx.init(models["generator"])
-    opt_c = tx_c.init({k: models[k] for k in critic_keys})
+    opt_host = False
+    if args.offload_opt:
+        from mmpl_tpu.utils.memory import (host_opt_init, stream_to_device,
+                                           stream_to_host,
+                                           supports_host_compute_offload)
+        opt_host = supports_host_compute_offload()
+        opt_g = host_opt_init(tx, models["generator"])
+        opt_c = host_opt_init(tx_c, {k: models[k] for k in critic_keys})
+        if opt_host:
+            print("optimizer states + EMA shadow: pinned_host",
+                  file=sys.stderr)
+    else:
+        opt_g = tx.init(models["generator"])
+        opt_c = tx_c.init({k: models[k] for k in critic_keys})
     # generator EMA — the released checkpoints carry 'generator_ema'
     # (Wan_fps_inference_1gpu.py:66-68, configs/self_forcing_dmd.yaml ema)
-    ema = EmaParams(models["generator"], decay=args.ema_decay)
+    ema = EmaParams(models["generator"], decay=args.ema_decay,
+                    offload=args.offload_opt)
 
-    @jax.jit
+    def opt_update(tx_, grads, opt, params):
+        if opt_host:
+            opt = stream_to_device(opt)
+        upd, opt = tx_.update(grads, opt, params)
+        return upd, stream_to_host(opt) if opt_host else opt
+
+    # NEVER donate host-parked buffers: donation aliases by shape across
+    # memory spaces, so a donated pinned-host moment buffer can back a
+    # device-computed param output -> "moved to host" compile aborts
+    donate = () if opt_host else (1,)
+
+    @partial(jax.jit, donate_argnums=donate)
     def gen_step(models, opt_g, batch, rng):
         (loss, _), grads = jax.value_and_grad(
             lambda g: gen_loss({**models, "generator": g}, batch, rng),
             has_aux=True)(models["generator"])
-        upd, opt_g = tx.update(grads, opt_g, models["generator"])
+        upd, opt_g = opt_update(tx, grads, opt_g, models["generator"])
         return optax.apply_updates(models["generator"], upd), opt_g, loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=donate)
     def critic_step(models, opt_c, batch, rng):
         cparams = {k: models[k] for k in critic_keys}
         (loss, _), grads = jax.value_and_grad(
             lambda c: critic_loss({**models, **c}, batch, rng),
             has_aux=True)(cparams)
-        upd, opt_c = tx_c.update(grads, opt_c, cparams)
+        upd, opt_c = opt_update(tx_c, grads, opt_c, cparams)
         return optax.apply_updates(cparams, upd), opt_c, loss
 
     start_step = 0
