@@ -88,6 +88,7 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
                       rope_cs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                       remat: bool = False,
                       remat_offload: bool = False,
+                      stop_cache_grad: bool = False,
                       ) -> Tuple[jnp.ndarray, Params]:
     """One forward of the group's frames through the whole trunk.
 
@@ -192,6 +193,20 @@ def fps_forward_group(params: Params, cfg, latents: jnp.ndarray,
     if quantized_cache:
         xs = xs + (kv_cache["k_scale"], kv_cache["v_scale"])
     x, (own_k, own_v) = jax.lax.scan(scan_body, x, xs)
+
+    if stop_cache_grad:
+        # Differentiated callers whose cache output is (eventually)
+        # stop-gradded anyway: sever AD AT the scatter.  Otherwise the
+        # linearisation of `.at[slots].set` materialises full-cache-shaped
+        # u32 index/JVP temps PER LAYER ([L, G, S, N*d] ~ 0.8 GB each at
+        # 30L 1.3B) even though their cotangent is zero — measured as the
+        # difference between a 489 MB OOM and fitting at 30L
+        # (tools/distill_probe.py, runs/distill_probe.json).  Gradient
+        # equality is exact: the graded rollout step already discards
+        # cache grads (self_forcing.py:214).
+        own_k = jax.lax.stop_gradient(own_k)
+        own_v = jax.lax.stop_gradient(own_v)
+        kv_cache = jax.tree.map(jax.lax.stop_gradient, kv_cache)
 
     if schedule.append_mode:
         new_cache = kv_cache

@@ -202,7 +202,7 @@ class SelfForcingRollout:
             flow, cache = fps_forward_group(
                 p, cfg, sel.astype(self.dtype), tt, ctx_kv, cache, sched,
                 rope_cs=rope_cs, remat=self.remat,
-                remat_offload=self.remat_offload)
+                remat_offload=self.remat_offload, stop_cache_grad=True)
             # Sever gradient flow through the cache: the reference's cache
             # writes all happen under no_grad (self_forcing_training.py),
             # and the clean commit below overwrites this block's slots

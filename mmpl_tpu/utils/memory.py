@@ -140,6 +140,109 @@ def stream_to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, Space.Host), tree)
 
 
+# ---------------------------------------------------------------------------
+# Per-leaf streaming AdamW (true ZeRO-Offload optimizer step)
+# ---------------------------------------------------------------------------
+#
+# The whole-tree recipe (host_opt_init + stream_to_device inside one jitted
+# step) parks the moments on the host but does NOT bound peak HBM: XLA
+# issues every host->HBM copy-start up front, so at the update point the
+# FULL first+second moments are resident again (observed OOM at 30 layers:
+# ~40 x 135 MB copy-start temps alongside params+grads).  The fix is
+# structural — one small program per parameter leaf, so only that leaf's
+# moments ever exist in HBM (peak ~5 leaf-sizes).  Dispatch overhead is
+# ~8-25 ms/program on the tunneled chip; at ~80 leaves that's 1-2 s per
+# optimizer step against 30-45 s train steps.
+
+_LEAF_STEP_CACHE: dict = {}
+
+
+def _adamw_leaf_step(shape, dtype, lr, b1, b2, eps, wd, host: bool):
+    key = (shape, str(dtype), lr, b1, b2, eps, wd, host)
+    fn = _LEAF_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax.numpy as jnp
+
+    def f(p, g, mu, nu, count):
+        if host:
+            mu, nu = stream_to_device((mu, nu))
+        gf = g.astype(jnp.float32)
+        mu_n = b1 * mu.astype(jnp.float32) + (1 - b1) * gf
+        nu_n = b2 * nu.astype(jnp.float32) + (1 - b2) * gf * gf
+        t = count.astype(jnp.float32)
+        mhat = mu_n / (1 - b1 ** t)
+        vhat = nu_n / (1 - b2 ** t)
+        upd = mhat / (jnp.sqrt(vhat) + eps) + wd * p.astype(jnp.float32)
+        p_n = (p.astype(jnp.float32) - lr * upd).astype(p.dtype)
+        mu_n, nu_n = mu_n.astype(mu.dtype), nu_n.astype(nu.dtype)
+        if host:
+            mu_n, nu_n = stream_to_host((mu_n, nu_n))
+        return p_n, mu_n, nu_n
+
+    fn = jax.jit(f, donate_argnums=(0,))
+    _LEAF_STEP_CACHE[key] = fn
+    return fn
+
+
+@jax.jit
+def _incr(c):
+    return c + 1
+
+
+def _zeros_leaf(shape, host: bool):
+    import jax.numpy as jnp
+    key = ("zeros", shape, host)
+    fn = _LEAF_STEP_CACHE.get(key)
+    if fn is None:
+        if host:
+            fn = jax.jit(lambda: stream_to_host(
+                (jnp.zeros(shape, jnp.float32),))[0])
+        else:
+            fn = jax.jit(lambda: jnp.zeros(shape, jnp.float32))
+        _LEAF_STEP_CACHE[key] = fn
+    return fn()
+
+
+def host_adamw_init(params: Any) -> dict:
+    """AdamW state with moments born in pinned host memory, one leaf at a
+    time (never the full moment trees in HBM).  Moments are f32 regardless
+    of param dtype (bf16 moments lose the small-update tail)."""
+    import jax.numpy as jnp
+    host = supports_host_compute_offload()
+    zeros = jax.tree.map(lambda leaf: _zeros_leaf(leaf.shape, host), params)
+    return {"mu": zeros,
+            "nu": jax.tree.map(lambda z: _zeros_leaf(z.shape, host), zeros),
+            "count": jnp.zeros((), jnp.int32)}
+
+
+def host_adamw_update(params: Any, grads: Any, state: dict,
+                      lr: float, b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8, weight_decay: float = 1e-4):
+    """One AdamW step, dispatched per leaf (optax.adamw semantics: the
+    weight-decay term rides inside the lr-scaled update).  Params are
+    donated leaf-by-leaf; moments stream host<->HBM inside each leaf's
+    program.  Returns (new_params, new_state)."""
+    host = supports_host_compute_offload()
+    count = _incr(state["count"])
+    leaves_p, treedef = jax.tree_util.tree_flatten(params)
+    leaves_g = treedef.flatten_up_to(grads)
+    leaves_mu = treedef.flatten_up_to(state["mu"])
+    leaves_nu = treedef.flatten_up_to(state["nu"])
+    new_p, new_mu, new_nu = [], [], []
+    for p, g, mu, nu in zip(leaves_p, leaves_g, leaves_mu, leaves_nu):
+        fn = _adamw_leaf_step(p.shape, p.dtype, float(lr), b1, b2, eps,
+                              weight_decay, host)
+        pn, mn, nn = fn(p, g, mu, nu, count)
+        new_p.append(pn)
+        new_mu.append(mn)
+        new_nu.append(nn)
+    unflat = jax.tree_util.tree_unflatten
+    return unflat(treedef, new_p), {"mu": unflat(treedef, new_mu),
+                                    "nu": unflat(treedef, new_nu),
+                                    "count": count}
+
+
 def hbm_bytes_in_use(device=None) -> Optional[int]:
     """Live HBM usage of a device (get_cuda_free_memory_gb analogue,
     demo_utils/memory.py:72-83); None where the backend has no stats."""

@@ -530,3 +530,32 @@ def test_tools_import_cleanly():
         os.environ.clear()
         os.environ.update(saved)
     assert not failures, failures
+
+
+def test_host_adamw_matches_optax():
+    """Per-leaf streaming AdamW (utils.memory.host_adamw_*) == optax.adamw
+    on CPU (where the host moves no-op): same moments math, bias
+    correction, decoupled weight decay inside the lr-scaled update."""
+    import optax
+    from mmpl_tpu.utils.memory import host_adamw_init, host_adamw_update
+
+    params = {"a": jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 6)), jnp.float32),
+        "b": {"kernel": jnp.asarray(np.random.default_rng(1)
+                                    .standard_normal((3,)), jnp.float32)}}
+    lr = 3e-3
+    tx = optax.adamw(lr)
+    opt = tx.init(params)
+    state = host_adamw_init(params)
+    p_ref, p_new = params, params
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(np.random.default_rng(10 + step)
+                                  .standard_normal(p.shape), jnp.float32),
+            p_ref)
+        upd, opt = tx.update(grads, opt, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        p_new, state = host_adamw_update(p_new, grads, state, lr)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

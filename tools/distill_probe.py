@@ -99,49 +99,59 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
         gen_loss = dist.dmd_generator_loss
         crit_loss = dist.critic_loss
         critic_keys = ("fake_score",)
-    tx = optax.adamw(1e-5)
+    LR = 1e-5
+    tx = optax.adamw(LR)
     opt_host = os.environ.get("DISTILL_OPT_HOST", "0") == "1"
     if opt_host:
-        from mmpl_tpu.utils.memory import (host_opt_init, stream_to_device,
-                                           stream_to_host)
-        opt_g = host_opt_init(tx, models["generator"])
-        opt_c = host_opt_init(tx, {k: models[k] for k in critic_keys})
-        log("optimizer states: pinned_host (streamed per-leaf updates)")
+        # per-LEAF streaming AdamW: the whole-tree host_opt_init +
+        # stream_to_device recipe parks the moments but XLA issues every
+        # host->HBM copy-start up front, so the full moments are resident
+        # again at the update point (measured OOM at 30L).  host_adamw_*
+        # dispatches one small program per leaf instead.
+        from mmpl_tpu.utils.memory import host_adamw_init, host_adamw_update
+        opt_g = host_adamw_init(models["generator"])
+        opt_c = host_adamw_init({k: models[k] for k in critic_keys})
+        log("optimizer states: pinned_host (per-leaf streaming AdamW)")
     else:
         opt_g = tx.init(models["generator"])
         opt_c = tx.init({k: models[k] for k in critic_keys})
 
-    def opt_update(tx_, grads, opt, params):
-        if opt_host:
-            opt = stream_to_device(opt)
-        upd, opt = tx_.update(grads, opt, params)
-        return upd, stream_to_host(opt) if opt_host else opt
-
-    # NEVER donate host-parked buffers: donation aliases by shape across
-    # memory spaces, so a donated pinned-host moment buffer can back a
-    # device-computed param output -> "moved to host" compile aborts
-    donate = () if opt_host else (1,)
-
-    @partial(jax.jit, donate_argnums=donate)
+    @partial(jax.jit, donate_argnums=(1,))
     def gen_step(models, opt_g, batch, rng):
         (loss, _), grads = jax.value_and_grad(
             lambda g: gen_loss(
                 {**models, "generator": g}, batch, rng),
             has_aux=True)(models["generator"])
-        upd, opt_g = opt_update(tx, grads, opt_g, models["generator"])
+        upd, opt_g = tx.update(grads, opt_g, models["generator"])
         return optax.apply_updates(models["generator"], upd), opt_g, loss
 
-    @partial(jax.jit, donate_argnums=donate)
+    @partial(jax.jit, donate_argnums=(1,))
     def critic_step(models, opt_c, batch, rng):
         c = {k: models[k] for k in critic_keys}
         (loss, _), grads = jax.value_and_grad(
             lambda cc: crit_loss({**models, **cc}, batch, rng),
             has_aux=True)(c)
-        upd, opt_c = opt_update(tx, grads, opt_c, c)
+        upd, opt_c = tx.update(grads, opt_c, c)
         return {k: v for k, v in optax.apply_updates(c, upd).items()}, \
             opt_c, loss
 
+    @jax.jit
+    def gen_grads(models, batch, rng):
+        (loss, _), grads = jax.value_and_grad(
+            lambda g: gen_loss({**models, "generator": g}, batch, rng),
+            has_aux=True)(models["generator"])
+        return loss, grads
+
+    @jax.jit
+    def critic_grads(models, batch, rng):
+        c = {k: models[k] for k in critic_keys}
+        (loss, _), grads = jax.value_and_grad(
+            lambda cc: crit_loss({**models, **cc}, batch, rng),
+            has_aux=True)(c)
+        return loss, grads
+
     rng = jax.random.PRNGKey(7)
+    records = []
     for step in range(steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
         ctx = jax.random.normal(k1, (B, cfg.text_len, cfg.text_dim), dtype)
@@ -158,28 +168,70 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
             batch["real_latents"] = jax.random.normal(
                 jax.random.fold_in(k3, 99), (B, F, 16, *lat_hw))
         if step == 0 and os.environ.get("DISTILL_MEMSTATS", "0") == "1":
-            for name, fn, a in (("critic", critic_step, opt_c),
-                                ("gen", gen_step, opt_g)):
-                m = fn.lower(models, a, batch, k3).compile() \
+            pairs = ((("critic", critic_grads), ("gen", gen_grads))
+                     if opt_host else
+                     (("critic", lambda m, b, k: critic_step(m, opt_c, b,
+                                                             k)),
+                      ("gen", lambda m, b, k: gen_step(m, opt_g, b, k))))
+            for name, fn in pairs:
+                m = jax.jit(fn).lower(models, batch, k3).compile() \
                     .memory_analysis()
                 log(f"{name} memory: args={m.argument_size_in_bytes/2**30:.2f}G "
                     f"out={m.output_size_in_bytes/2**30:.2f}G "
                     f"temp={m.temp_size_in_bytes/2**30:.2f}G "
                     f"gen={m.generated_code_size_in_bytes/2**20:.0f}M "
                     f"alias={m.alias_size_in_bytes/2**30:.2f}G")
-        new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
-        closs = float(closs)
-        t_c = time.perf_counter() - t0
-        models.update(new_c)
-        t0 = time.perf_counter()
-        g, opt_g, gloss = gen_step(models, opt_g, batch, k4)
-        gloss = float(gloss)
-        t_g = time.perf_counter() - t0
-        models["generator"] = g
+        if opt_host:
+            closs, cgrads = critic_grads(models, batch, k3)
+            closs = float(closs)     # sync before the per-leaf updates
+            c = {k: models[k] for k in critic_keys}
+            new_c, opt_c = host_adamw_update(c, cgrads, opt_c, LR)
+            del cgrads
+            t_c = time.perf_counter() - t0
+            models.update(new_c)
+            t0 = time.perf_counter()
+            gloss, ggrads = gen_grads(models, batch, k4)
+            gloss = float(gloss)
+            models["generator"], opt_g = host_adamw_update(
+                models["generator"], ggrads, opt_g, LR)
+            del ggrads
+            t_g = time.perf_counter() - t0
+        else:
+            new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
+            closs = float(closs)
+            t_c = time.perf_counter() - t0
+            models.update(new_c)
+            t0 = time.perf_counter()
+            g, opt_g, gloss = gen_step(models, opt_g, batch, k4)
+            gloss = float(gloss)
+            t_g = time.perf_counter() - t0
+            models["generator"] = g
         log(f"step {step}: critic={closs:.5f} ({t_c:.1f}s) "
             f"gen={gloss:.5f} ({t_g:.1f}s)")
         assert np.isfinite(closs) and np.isfinite(gloss)
+        records.append({"step": step, "critic_loss": closs, "critic_s":
+                        round(t_c, 2), "gen_loss": gloss,
+                        "gen_s": round(t_g, 2)})
     log("distillation steps finite and timed on chip")
+
+    import json
+    os.makedirs("/root/repo/runs", exist_ok=True)
+    path = "/root/repo/runs/distill_probe.json"
+    try:
+        with open(path) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        history = []
+    history.append({
+        "date": time.strftime("%Y-%m-%d %H:%M"),
+        "backend": jax.default_backend(),
+        "layers": layers, "frames": F, "rollout_frames": max_F,
+        "objective": objective, "offload": off, "quantize_cache": qc,
+        "opt_host": opt_host, "steps": records,
+    })
+    with open(path, "w") as f:
+        json.dump(history, f, indent=1)
+    log(f"recorded -> {path}")
 
 
 if __name__ == "__main__":
