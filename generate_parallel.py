@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--guidance-scale", type=float, default=5.0)
     p.add_argument("--timestep-shift", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--quantize", default=None, choices=["int8", "int8wo"],
+    p.add_argument("--quantize", default=None, choices=["int8", "int8wo", "auto"],
                    help="int8 projection gemms per stage (ops/quant.py)")
     p.add_argument("--quantize-cache", action="store_true",
                    help="int8 KV cache per stage (halves cache HBM)")

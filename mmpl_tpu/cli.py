@@ -44,7 +44,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-latents", default=None)
-    p.add_argument("--quantize", default=None, choices=["int8", "int8wo"],
+    p.add_argument("--quantize", default=None, choices=["int8", "int8wo", "auto"],
                    help="int8 projection gemms (ops/quant.py): int8=W8A8 "
                         "(~-7%% step time measured on v5e, PERF.md), "
                         "int8wo=weight-only W8A16 (better numerics, "
@@ -53,6 +53,12 @@ def parse_args(argv=None):
                    help="int8 KV cache with per-token scales (halves the "
                         "dominant HBM resident of the 50-step CFG "
                         "pipelines; models/fps_dit.init_kv_cache)")
+    p.add_argument("--quantize-vae", action="store_true",
+                   help="int8 W8A8 VAE decoder convs (the reference's "
+                        "TensorRT int8 VAE engine analogue, "
+                        "vae_torch2trt.py; models/vae."
+                        "quantize_vae_decoder) — keep-or-revert numbers "
+                        "in tools/vae_decode_probe.py / PERF.md")
     p.add_argument("--profile", action="store_true",
                    help="per-phase timing report (init / per-block "
                         "diffusion / VAE), reference causal_inference.py"
@@ -137,6 +143,8 @@ def main(argv=None):
         text_encoder = WanTextEncoder(
             t5_params, UMT5_XXL,
             os.path.join(args.wan_dir, "google/umt5-xxl"))
+    if args.quantize_vae:
+        vae_params = vae.quantize_vae_decoder(vae_params)
     print(f"model init: {time.time()-t0:.1f}s", file=sys.stderr)
 
     if text_encoder is not None:

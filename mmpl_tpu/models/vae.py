@@ -93,14 +93,40 @@ def decoder_specs() -> List[Tuple[str, int, int]]:
 # Primitive layers (NDHWC layout: x [B, T, H, W, C])
 # ---------------------------------------------------------------------------
 
+def _quant_act(x: jnp.ndarray):
+    """Per-tensor dynamic int8 activation quantisation for convs.
+
+    Per-token scales (the DiT gemm recipe, ops/quant.py) are wrong for
+    convolutions — each output mixes kt*kh*kw positions with different
+    scales — so conv activations use ONE dynamic scale per tensor, the
+    dynamic analogue of TensorRT's per-tensor calibration
+    (demo_utils/vae_torch2trt.py:139 VAECalibrator)."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
 def _conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1),
             t_pad: Optional[int] = None) -> jnp.ndarray:
-    """Causal 3D conv: temporal zero-pad in front (2*pad_t), spatial SAME."""
-    kt, kh, kw = p["kernel"].shape[:3]
+    """Causal 3D conv: temporal zero-pad in front (2*pad_t), spatial SAME.
+
+    Dispatches to the int8 W8A8 path when `p` holds a quantized kernel
+    (see `quantize_vae_decoder`)."""
+    kernel = p["kernel_q"] if "kernel_q" in p else p["kernel"]
+    kt, kh, kw = kernel.shape[:3]
     t_pad = 2 * (kt // 2) if t_pad is None else t_pad
     pads = [(t_pad, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+    if "kernel_q" in p:
+        xq, xs = _quant_act(x)
+        acc = jax.lax.conv_general_dilated(
+            xq, kernel, window_strides=stride, padding=pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * (xs * p["scale"])).astype(x.dtype)
+        return y + p["bias"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["kernel"].astype(x.dtype), window_strides=stride,
+        x, kernel.astype(x.dtype), window_strides=stride,
         padding=pads, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return y + p["bias"].astype(x.dtype)
 
@@ -109,6 +135,15 @@ def _conv2d(p: Params, x: jnp.ndarray, stride=(1, 1),
             padding="SAME") -> jnp.ndarray:
     """Per-frame 2D conv on [B, T, H, W, C] via batch-fold."""
     B, T, H, W, C = x.shape
+    if "kernel_q" in p:
+        xq, xs = _quant_act(x.reshape(B * T, H, W, C))
+        acc = jax.lax.conv_general_dilated(
+            xq, p["kernel_q"], window_strides=stride, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * (xs * p["scale"])).astype(x.dtype)
+        y = y + p["bias"].astype(x.dtype)
+        return y.reshape(B, T, *y.shape[1:])
     y = jax.lax.conv_general_dilated(
         x.reshape(B * T, H, W, C), p["kernel"].astype(x.dtype),
         window_strides=stride, padding=padding,
@@ -349,6 +384,37 @@ def encode(params: Params, pixels: jnp.ndarray) -> jnp.ndarray:
     std = jnp.asarray(LATENT_STD, mu.dtype)
     mu = (mu - mean) / std
     return mu.transpose(0, 1, 4, 2, 3)   # [B, T, C, H', W']
+
+
+def quantize_vae_decoder(params: Params) -> Params:
+    """int8-quantize every decoder conv (W8A8: per-output-channel weight
+    scales, per-tensor dynamic activation scales in `_conv3d`/`_conv2d`).
+
+    The TPU-native analogue of the reference's TensorRT int8 VAE decoder
+    engine (demo_utils/vae_torch2trt.py + demo_utils/vae.py:318-389).
+    Covers `decoder.*` and the post-latent `conv2`; the encoder and all
+    norms stay untouched.  Works with both `decode` and
+    `decode_streaming` (the conv dispatch is shared)."""
+    def quant_conv(p):
+        w = p["kernel"].astype(jnp.float32)
+        axes = tuple(range(w.ndim - 1))                  # all but Cout
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=axes) / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"kernel_q": wq, "scale": scale, "bias": p["bias"]}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node:
+                return quant_conv(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    out = dict(params)
+    out["decoder"] = walk(params["decoder"])
+    out["conv2"] = quant_conv(params["conv2"])
+    return out
 
 
 def decode(params: Params, latents: jnp.ndarray,

@@ -36,7 +36,7 @@ class BidirectionalDiffusionInferencePipeline:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         from ..models.dit import apply_quantize
-        params = apply_quantize(params, quantize)
+        params = apply_quantize(params, quantize, cfg)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.dtype = dtype
@@ -103,7 +103,7 @@ class BidirectionalInferencePipeline:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         from ..models.dit import apply_quantize
-        params = apply_quantize(params, quantize)
+        params = apply_quantize(params, quantize, cfg)
         self.params = params
         self.steps = tuple(int(t) for t in denoising_step_list)
         self.dtype = dtype

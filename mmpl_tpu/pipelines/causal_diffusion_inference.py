@@ -54,7 +54,7 @@ class CausalDiffusionInferencePipeline:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         from ..models.dit import apply_quantize
-        params = apply_quantize(params, quantize)
+        params = apply_quantize(params, quantize, cfg)
         self.params = params
         self.guidance_scale = float(guidance_scale)
         self.num_frame_per_block = num_frame_per_block

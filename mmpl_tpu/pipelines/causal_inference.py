@@ -77,7 +77,7 @@ class CausalInferencePipeline:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         from ..models.dit import apply_quantize
-        params = apply_quantize(params, quantize)
+        params = apply_quantize(params, quantize, cfg)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.quantize_cache = bool(quantize_cache)

@@ -74,7 +74,7 @@ class CausalFPSInferencePipeline:
         # of the reference's TensorRT INT8 engines ("int8" W8A8 /
         # "int8wo" weight-only)
         from ..models.dit import apply_quantize
-        params = apply_quantize(params, quantize)
+        params = apply_quantize(params, quantize, cfg)
         if mesh is not None and shard_params:
             from ..parallel.mesh import shard_params_for_inference
             params = shard_params_for_inference(params, mesh)

@@ -288,3 +288,103 @@ def test_quantized_cache_shardings():
     assert sh["k_scale"].spec[1] == "dp"
     assert all(s is None for i, s in enumerate(sh["k_scale"].spec)
                if i != 1)
+
+
+# ---------------------------------------------------------------------------
+# quantize="auto": load-time per-projection sensitivity policy (VERDICT r4)
+# ---------------------------------------------------------------------------
+
+def test_auto_quantize_policy_and_report():
+    """Healthy weights -> every projection passes the threshold (pure
+    W8A8 == the measured fast path); the report carries per-target
+    errors and the mixed end-to-end error."""
+    cfg = tiny_test_config()
+    p = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    p = dit.fuse_qkv_params(p, num_heads=cfg.num_heads)
+    q, rep = dit.auto_quantize(p, cfg)
+    assert set(rep["policy"]) == set(rep["per_target_rel_err"])
+    assert all(m == "int8" for m in rep["policy"].values()), rep
+    assert rep["mixed_rel_err"] < 0.01
+    assert rep["probed_with_random_head"] is True  # zero-init head case
+    # quantized pytree actually runs
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 16, 8, 8))
+    out = dit.dit_forward(q, cfg, x, jnp.full((1, 3), 500.0),
+                          jax.random.normal(jax.random.PRNGKey(6),
+                                            (1, cfg.text_len, cfg.text_dim)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_quantize_demotes_sensitive_projection():
+    """A projection with a pathological weight distribution (one huge
+    outlier channel starves the per-channel int8 grid for activations
+    routed through it) must fall back to W8A16."""
+    cfg = tiny_test_config()
+    p = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    p = dit.fuse_qkv_params(p, num_heads=cfg.num_heads)
+    p = randomize_head(p)
+    fc2 = dict(p["blocks"]["ffn"]["fc2"])
+    k = np.asarray(fc2["kernel"])
+    # an outlier ROW (input channel): per-output-channel scales blow up
+    # everywhere, crushing every other row's resolution
+    k = k.copy()
+    k[:, 7, :] *= 3000.0
+    fc2["kernel"] = jnp.asarray(k)
+    blocks = dict(p["blocks"])
+    ffn = dict(blocks["ffn"])
+    ffn["fc2"] = fc2
+    blocks["ffn"] = ffn
+    p = {**p, "blocks": blocks}
+    q, rep = dit.auto_quantize(p, cfg)
+    assert rep["policy"]["ffn.fc2"] == "int8wo", rep
+    assert rep["per_target_rel_err"]["ffn.fc2"] > 0.03
+    # and the mixed model keeps the W8A16 fallback's accuracy
+    assert rep["mixed_rel_err"] < rep["per_target_rel_err"]["ffn.fc2"]
+
+
+def test_apply_quantize_auto_via_pipeline_arg():
+    from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
+    cfg = tiny_test_config()
+    p = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    pipe = CausalFPSInferencePipeline(cfg, p, sampling_steps=2,
+                                      quantize="auto", dtype=jnp.float32)
+    sa = pipe.params["blocks"]["self_attn"]
+    assert "kernel_q" in sa["qkv"] or "kernel_w8" in sa["qkv"]
+    assert dit.last_auto_quantize_report["policy"]
+
+
+# ---------------------------------------------------------------------------
+# int8 VAE decoder (VERDICT r3 item 7 — the reference's TRT int8 VAE)
+# ---------------------------------------------------------------------------
+
+def test_vae_int8_decode_close_and_streaming_close():
+    from mmpl_tpu.models import vae
+    p = vae.init_vae_params(jax.random.PRNGKey(0), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 8, 8),
+                          jnp.float32)
+    ref = np.asarray(vae.decode(p, z))
+
+    def psnr(got):
+        mse = float(np.mean((got - ref) ** 2))
+        return 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range, peak 2
+
+    pq = vae.quantize_vae_decoder(p)
+    got = np.asarray(vae.decode(pq, z))
+    assert got.shape == ref.shape
+    assert psnr(got) > 25.0, psnr(got)
+    # the streaming decode shares the quantized conv dispatch.  It is NOT
+    # bit-identical to the batch int8 decode: the dynamic per-tensor
+    # activation scale is computed over each streamed chunk, a different
+    # (equally valid) quantization grid — so assert quality vs the f32
+    # reference, same gate as the batch path.
+    gs = np.asarray(vae.decode_streaming(pq, z))
+    assert psnr(gs) > 25.0, psnr(gs)
+
+
+def test_vae_encoder_untouched_by_decoder_quant():
+    from mmpl_tpu.models import vae
+    p = vae.init_vae_params(jax.random.PRNGKey(0), jnp.float32)
+    pq = vae.quantize_vae_decoder(p)
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 3, 32, 32),
+                           jnp.float32)
+    np.testing.assert_array_equal(np.asarray(vae.encode(pq, px)),
+                                  np.asarray(vae.encode(p, px)))
