@@ -147,6 +147,12 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
     from mmpl_tpu.pipelines.fps_inference import CausalFPSInferencePipeline
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+    # the Wan head is zero-init (model.py:923): randomize it (same seed
+    # on every variant) so the outputs carry signal — the int8-vs-bf16
+    # decode-space PSNR quality gate below needs non-vacuous latents
+    k = params["head"]["head"]["kernel"]
+    params["head"]["head"]["kernel"] = (jax.random.normal(
+        jax.random.PRNGKey(99), k.shape, jnp.float32) * 0.05).astype(k.dtype)
     pipe = CausalFPSInferencePipeline(cfg, params, plan=plan,
                                       sampling_steps=steps, dtype=dtype,
                                       quantize=quantize)
@@ -160,11 +166,13 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
     uncond = jax.random.normal(jax.random.PRNGKey(12),
                                (B, cfg.text_len, cfg.text_dim), jnp.float32)
 
-    # window 0: compiles all group programs
+    # window 0: compiles all group programs (fast when the persistent
+    # compile cache hits — see cache_stats in the JSON line)
     t0 = time.perf_counter()
     out = pipe.inference(noise, cond, uncond, rng=jax.random.PRNGKey(0))
     sync(out)
-    log(f"window0 (compile+run): {time.perf_counter() - t0:.1f}s "
+    window0_s = time.perf_counter() - t0
+    log(f"window0 (compile+run): {window0_s:.1f}s "
         f"dispatch={ {k: round(v, 2) for k, v in pipe.phase_times.items()} }")
 
     window_times = []
@@ -176,7 +184,82 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
         dt = time.perf_counter() - t0
         window_times.append(dt)
         log(f"window{wi + 1}: {dt:.1f}s")
-    return out, window_times
+    return out, window_times, window0_s
+
+
+def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
+    """Few-step distilled AR pipeline — the production-latency path
+    (reference: pipeline/causal_inference.py:47-276; its CUDA-event profile
+    :237-271 is the reference's whole latency story).
+
+    Measures: steady-state per-3-frame-block latency on the rolling ring
+    cache (ONE compiled program per steady block), end-to-end frames/s at
+    4 denoising steps, the reference-format phase breakdown, and the
+    marginal cost of live TAEHV preview decode per block.
+    """
+    import gc
+
+    from mmpl_tpu.models import dit, taehv
+    from mmpl_tpu.pipelines.causal_inference import CausalInferencePipeline
+    from mmpl_tpu.utils.preview import TaehvPreviewer
+
+    nb = 3
+    cap = 6 if quick else 21
+    F = 12 if quick else 33            # cap warmup + >=2 rolling blocks
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+    pipe = CausalInferencePipeline(
+        cfg, params, denoising_step_list=(1000, 750, 500, 250),
+        num_frame_per_block=nb, max_attention_frames=cap, dtype=dtype)
+    del params
+    noise = jax.random.normal(jax.random.PRNGKey(30), (B, F, C, H, W),
+                              jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(31),
+                             (B, cfg.text_len, cfg.text_dim), jnp.float32)
+
+    t0 = time.perf_counter()
+    out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(0))
+    sync(out)
+    log(f"fewstep window0 (compile+run): {time.perf_counter() - t0:.1f}s")
+
+    # measured pass: async block chain, one sync (dispatch amortised)
+    t0 = time.perf_counter()
+    out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(1))
+    sync(out)
+    window_s = time.perf_counter() - t0
+
+    # profiled pass: reference-format per-block/per-phase breakdown
+    out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(2),
+                         profile=True)
+    sync(out)
+    blocks = list(pipe.last_profile.blocks)
+    n_warm = cap // nb
+    steady = blocks[n_warm:]
+    p50_steady = float(np.median(steady))
+    log(f"fewstep: window={window_s:.1f}s frames/s={F / window_s:.3f} "
+        f"steady p50 block={p50_steady * 1e3:.0f}ms "
+        f"(warmup p50 {np.median(blocks[:n_warm]) * 1e3:.0f}ms)")
+
+    # live TAEHV preview marginal cost
+    previewer = TaehvPreviewer(taehv.init_taehv_params(jax.random.PRNGKey(40),
+                                                       jnp.float32))
+    t0 = time.perf_counter()
+    out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(1),
+                         on_block=lambda s, x: previewer(x))
+    sync(out)
+    preview_s = time.perf_counter() - t0
+    overhead = preview_s - window_s
+    log(f"fewstep + TAEHV preview: {preview_s:.1f}s "
+        f"(preview overhead {overhead:+.1f}s, "
+        f"{overhead / (F / 4):+.2f}s per preview block)")
+    del pipe, previewer
+    gc.collect()
+    return {
+        "fewstep_window_s": round(window_s, 2),
+        "fewstep_frames_per_s": round(F / window_s, 4),
+        "fewstep_block_p50_s": round(p50_steady, 3),
+        "fewstep_frames": F,
+        "fewstep_preview_overhead_s": round(overhead, 2),
+    }
 
 
 def _device_preflight(timeout_s: int = 300) -> bool:
@@ -285,32 +368,47 @@ def main():
         return
 
     # --- measured end-to-end windows (VERDICT r1 item 3) ------------------
-    out, window_times = bench_real_pipeline(cfg, plan, B, C, H, W, dtype,
-                                            steps, n_windows)
+    out, window_times, window0_s = bench_real_pipeline(
+        cfg, plan, B, C, H, W, dtype, steps, n_windows)
     window_s_measured = float(np.median(window_times))
     p50_chunk = window_s_measured   # one window == one pipeline chunk
 
-    # --- int8 quantized window (VERDICT r3 item 1) -------------------------
-    # Same pipeline with int8 W8A8 projection gemms (ops/quant.py); the
-    # measured in-model step delta on v5e is ~-7% (tools/int8_model_probe).
+    # --- int8 quantized window + quality gate (VERDICT r3 items 1 & r4 4) --
+    # quantize="auto" runs the load-time per-projection sensitivity audit
+    # (models.dit.auto_quantize: W8A8 where the probe error passes, W8A16
+    # fallback elsewhere) and the decode-space PSNR below decides whether
+    # the int8 number becomes the HEADLINE: both windows denoise the same
+    # noise with the same weights, both decode through the same VAE, and
+    # int8 is accepted at PSNR >= BENCH_INT8_PSNR_GATE (35 dB default —
+    # transfers to real weights: the procedure, not the synthetic number,
+    # is the artifact).
     int8_window_s = None
+    int8_out = None
+    int8_policy = None
     if (os.environ.get("BENCH_SKIP_INT8", "0") != "1" and not quick):
         import gc
         gc.collect()
-        _, int8_times = bench_real_pipeline(cfg, plan, B, C, H, W, dtype,
-                                            steps, 1, quantize="int8")
+        int8_out, int8_times, _ = bench_real_pipeline(
+            cfg, plan, B, C, H, W, dtype, steps, 1, quantize="auto")
+        from mmpl_tpu.models.dit import last_auto_quantize_report
+        int8_policy = dict(last_auto_quantize_report)
         int8_window_s = float(np.median(int8_times))
         log(f"int8 window: {int8_window_s:.1f}s "
             f"({window_s_measured / int8_window_s - 1:+.1%} vs bf16)")
         gc.collect()
 
-    # --- streaming VAE decode ---------------------------------------------
+    # --- few-step distilled AR path (VERDICT r3 item 2) ---------------------
+    fewstep = {}
+    if os.environ.get("BENCH_SKIP_FEWSTEP", "0") != "1":
+        fewstep = bench_fewstep(cfg, B, C, H, W, dtype, quick)
+
+    # --- streaming VAE decode + int8 quality gate ---------------------------
     vae_decode_s = None
+    int8_psnr = None
     if os.environ.get("BENCH_SKIP_VAE", "0") != "1":
         from mmpl_tpu.models import vae as vae_mod
         vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(20),
                                              jnp.float32)
-        lat_h, lat_w = H, W
         dec = jax.jit(vae_mod.decode_streaming)
         t0 = time.perf_counter()
         vid = dec(vae_params, out.astype(jnp.float32))
@@ -322,30 +420,62 @@ def main():
         vae_decode_s = time.perf_counter() - t0
         log(f"vae decode: {vae_decode_s:.1f}s (compile+run {compile_s:.1f}s) "
             f"video={vid.shape}")
+        if int8_out is not None:
+            # decode-space PSNR int8-vs-bf16: same noise, same weights,
+            # same VAE — the quantization error as a user would see it
+            vid8 = dec(vae_params, int8_out.astype(jnp.float32))
+            a = np.asarray(vid, np.float32)
+            b = np.asarray(vid8, np.float32)
+            mse = float(np.mean((a - b) ** 2))
+            int8_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
+            log(f"int8 decode-space PSNR vs bf16: {int8_psnr:.1f} dB")
+            del vid8, a, b
 
-    frames_per_s = plan.num_frames / window_s_measured
+    # --- headline promotion (VERDICT r4 item 4) -----------------------------
+    # int8 becomes the HEADLINE iff it is faster AND passes the decode-space
+    # PSNR gate; otherwise the bf16 number stands and the int8 row records
+    # why (psnr/speed).  The gate default (35 dB on [-1,1] pixels) is the
+    # documented accept threshold; it transfers to real weights because the
+    # whole procedure (auto policy + same-noise decode comparison) reruns at
+    # load time with whatever weights are given.
+    psnr_gate = float(os.environ.get("BENCH_INT8_PSNR_GATE", "35"))
+    int8_promoted = bool(int8_window_s is not None and int8_psnr is not None
+                         and int8_psnr >= psnr_gate
+                         and int8_window_s < window_s_measured)
+    headline_window_s = int8_window_s if int8_promoted else window_s_measured
+    if int8_promoted:
+        log(f"int8 PROMOTED to headline: PSNR {int8_psnr:.1f} >= "
+            f"{psnr_gate} dB and {int8_window_s:.1f}s < "
+            f"{window_s_measured:.1f}s")
+
+    frames_per_s = plan.num_frames / headline_window_s
     total = window_flops(cfg, plan, S, steps, CFG_FORWARDS)
-    achieved_tflops = total / window_s_measured / 1e12
+    achieved_tflops = total / headline_window_s / 1e12
 
     h100_flops = 989e12 * 0.45
     ref_window_s = total / h100_flops
     vs = frames_per_s / (plan.num_frames / ref_window_s)
 
-    wall = window_s_measured + (vae_decode_s or 0.0)
+    wall = headline_window_s + (vae_decode_s or 0.0)
     from mmpl_tpu.core.geometry import pixel_frames
     px_per_s = pixel_frames(plan.num_frames) / wall
 
+    from mmpl_tpu.utils.compile_cache import cache_stats
+    cstats = cache_stats()
+
     log(f"window_measured={window_s_measured:.1f}s (extrap {extrap_window_s:.1f}s)"
         f"  frames/s/chip={frames_per_s:.4f}  achieved~{achieved_tflops:.1f}"
-        f" TFLOP/s  pixel-frames/s={px_per_s:.3f}")
+        f" TFLOP/s  pixel-frames/s={px_per_s:.3f}  compile-cache={cstats}")
 
     print(json.dumps({
         "metric": "latent_frames_per_sec_per_chip",
         "value": round(frames_per_s, 4),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        "headline_quantize": "int8-auto" if int8_promoted else "bf16",
         "window_s_measured": round(window_s_measured, 2),
         "window_s_extrapolated": round(extrap_window_s, 2),
+        "window0_s": round(window0_s, 2),
         "p50_chunk_latency_s": round(p50_chunk, 2),
         "vae_decode_s": None if vae_decode_s is None else round(vae_decode_s,
                                                                 2),
@@ -355,6 +485,12 @@ def main():
         else round(int8_window_s, 2),
         "int8_frames_per_s": None if int8_window_s is None
         else round(plan.num_frames / int8_window_s, 4),
+        "int8_psnr_db": None if int8_psnr is None else round(int8_psnr, 1),
+        "int8_psnr_gate_db": psnr_gate,
+        "int8_promoted": int8_promoted,
+        "int8_policy": None if not int8_policy else int8_policy.get("policy"),
+        "compile_cache": cstats,
+        **fewstep,
     }))
 
 
