@@ -249,12 +249,46 @@ class ParallelVideoGenerationService:
             config.text_expansion_url if config.use_text_expansion else "",
             config.prompt_log_file)
         os.makedirs(config.output_folder, exist_ok=True)
+        # capacity model (the reference surfaces per-GPU busy-ness via its
+        # need_wait flag, fastapi_parallel_t2v_server.py:690,754): FIFO
+        # tickets over the single generation lock so clients can tell
+        # "busy, k ahead of you" from "idle" via /health and task status.
+        self._qlock = threading.Lock()
+        self._next_ticket = 0      # tickets issued
+        self._done_tickets = 0     # tickets completed (success or failure)
+        self._task_ticket: dict = {}
 
     def is_model_loaded(self) -> bool:
         return self.backend is not None
 
+    def queue_state(self) -> dict:
+        """Live capacity snapshot: depth counts tasks submitted and not yet
+        finished (position 0 of the FIFO is the one generating now)."""
+        with self._qlock:
+            depth = self._next_ticket - self._done_tickets
+            return {"queue_depth": depth, "busy": depth > 0}
+
+    def _enqueue(self, task_id: str) -> None:
+        with self._qlock:
+            self._task_ticket[task_id] = self._next_ticket
+            self._next_ticket += 1
+
+    def _finish(self, task_id: str) -> None:
+        with self._qlock:
+            self._done_tickets += 1
+            self._task_ticket.pop(task_id, None)
+
     def get_task_status(self, key: str) -> Optional[dict]:
-        return self.task_storage.get_task(key)
+        rec = self.task_storage.get_task(key)
+        if rec is None:
+            return None
+        ticket = self._task_ticket.get(rec.get("task_id"))
+        if ticket is not None and rec.get("status") == \
+                TaskStatus.PROCESSING.value:
+            with self._qlock:
+                # 0 = generating now; k = k tasks ahead in the FIFO
+                rec = dict(rec, queue_position=ticket - self._done_tickets)
+        return rec
 
     def _store(self, task_id: str, seqid: str, code: int, message: str,
                flag: int, status: str, videos: List[str],
@@ -301,6 +335,7 @@ class ParallelVideoGenerationService:
                                      task_id: str) -> None:
         seqid = request.get("seqid") or task_id
         prompt = request["prompt"]
+        self._enqueue(task_id)
         try:
             self._store(task_id, seqid, ResponseCode.SUCCESS.value,
                         "processing", 1, TaskStatus.PROCESSING.value,
@@ -367,6 +402,8 @@ class ParallelVideoGenerationService:
             CallbackHandler.execute_callback(
                 request.get("callback_url"), seqid,
                 ResponseCode.SERVER_ERROR.value, str(e), 0, [], [], prompt)
+        finally:
+            self._finish(task_id)
 
 
 def make_handler(service: ParallelVideoGenerationService,
@@ -406,6 +443,7 @@ def make_handler(service: ParallelVideoGenerationService,
                     "timestamp": datetime.datetime.now().isoformat(),
                     "service_type": config.service_type,
                     "num_chunks": config.num_chunks,
+                    **service.queue_state(),
                 })
             elif self.path.startswith("/status/"):
                 task_id = self.path[len("/status/"):]
@@ -490,9 +528,10 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
 
     def backend(prompt: str, num_chunks: int, seed: int,
                 image=None, on_chunk=None) -> List[str]:
-      # one generation at a time: concurrent request threads share the
-      # pipeline replicas (mirrors the reference's per-GPU serialisation)
-      with gen_lock:
+        # text-encode + image-encode BEFORE taking the generation lock:
+        # a queued request prepares its conditioning while the current
+        # one denoises (disjoint work — short encoder programs interleave
+        # freely with the long denoise dispatch queue)
         cond = text_encoder([prompt])["prompt_embeds"]
         uncond = text_encoder([neg])["prompt_embeds"]
         rng = jax.random.PRNGKey(seed)
@@ -508,21 +547,29 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
             img = load_image(image, lat_hw[0] * 8, lat_hw[1] * 8)
             initial = vae_mod.encode(vae_params,
                                      jnp.asarray(img)[None, None])
-        chunks = pipe.generate(noises, cond, uncond, rng=rng,
-                               initial_latent=initial)
-        vids = pipe.decode_chunks(chunks)
-        # chunks finish in order on their stage queues: materialising
-        # vids[i] blocks only on chunk i, so each written file can be
-        # published (on_chunk) while later chunks still compute
-        paths = []
-        for i, v in enumerate(vids):
-            arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
-            frames = (arr[0].transpose(0, 2, 3, 1) * 255).astype(np.uint8)
-            out = os.path.join(config.output_folder,
-                               f"{prompt[:50]}-chunk{i + 1}-seed{seed}.mp4")
-            paths.append(write_video(out, frames, fps=16))
-            if on_chunk is not None:
-                on_chunk(paths[-1])
+        # one generation at a time: concurrent request threads share the
+        # pipeline replicas (mirrors the reference's per-GPU serialisation)
+        with gen_lock:
+            chunks = pipe.generate(noises, cond, uncond, rng=rng,
+                                   initial_latent=initial)
+            vids = pipe.decode_chunks(chunks)
+            # chunks finish in order on their stage queues: materialising
+            # vids[i] blocks only on chunk i, so each written file can be
+            # published (on_chunk) while later chunks still compute.
+            # Decode + materialisation stay under the lock: a second
+            # window generating while these buffers are alive would blow
+            # the 1.3B HBM budget.
+            paths = []
+            for i, v in enumerate(vids):
+                arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
+                frames = (arr[0].transpose(0, 2, 3, 1) * 255).astype(
+                    np.uint8)
+                out = os.path.join(
+                    config.output_folder,
+                    f"{prompt[:50]}-chunk{i + 1}-seed{seed}.mp4")
+                paths.append(write_video(out, frames, fps=16))
+                if on_chunk is not None:
+                    on_chunk(paths[-1])
         return paths
 
     return backend
@@ -548,7 +595,7 @@ def main(argv=None):
                     help="MMPL generator .pt; absent = smoke mode")
     ap.add_argument("--wan-dir", default=None)
     ap.add_argument("--use-ema", action="store_true")
-    ap.add_argument("--quantize", default=None, choices=["int8", "int8wo"])
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8wo", "auto"])
     ap.add_argument("--quantize-cache", action="store_true")
     ap.add_argument("--use-text-expansion", action="store_true")
     ap.add_argument("--text-expansion-url", default="")

@@ -269,3 +269,71 @@ def test_progressive_chunk_publication(tmp_path):
         assert len(rec["data"]["cover_image"]) == 2
     finally:
         srv.shutdown()
+
+
+def test_queue_depth_reporting(tmp_path):
+    """Capacity model (VERDICT r3 item 8): /health reports queue depth +
+    busy state and a PROCESSING task's status carries its FIFO position,
+    so a client can tell "busy, k ahead of you" from "idle" (the
+    reference's need_wait analogue, fastapi_parallel_t2v_server.py:690)."""
+    gate = threading.Event()
+    glock = threading.Lock()   # stands in for the backend's gen_lock
+
+    def backend(prompt, num_chunks, seed, image=None):
+        with glock:
+            gate.wait(timeout=20)
+            p = tmp_path / f"{prompt}.mp4"
+            p.write_bytes(b"fake")
+            return [str(p)]
+
+    cfg = ParallelServerConfig(host="127.0.0.1", port=0,
+                               output_folder=str(tmp_path))
+    srv = create_server(cfg, backend=backend)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        _, h = _get(port, "/health")
+        assert h["queue_depth"] == 0 and h["busy"] is False
+
+        _, b1 = _post(port, "/parallel_text_2_video",
+                      {"prompt": "one", "seed": 1})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, h = _get(port, "/health")
+            if h["queue_depth"] == 1:
+                break
+            time.sleep(0.02)
+        assert h["queue_depth"] == 1 and h["busy"] is True
+
+        _, b2 = _post(port, "/parallel_text_2_video",
+                      {"prompt": "two", "seed": 2})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, h = _get(port, "/health")
+            if h["queue_depth"] == 2:
+                break
+            time.sleep(0.02)
+        assert h["queue_depth"] == 2
+
+        # FIFO positions: first request is generating (0), second waits (1)
+        _, r1 = _get(port, f"/status/{b1['task_id']}")
+        _, r2 = _get(port, f"/status/{b2['task_id']}")
+        assert r1["status"] == TaskStatus.PROCESSING.value
+        assert r1["queue_position"] == 0
+        assert r2["queue_position"] == 1
+
+        gate.set()
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            _, h = _get(port, "/health")
+            _, r2 = _get(port, f"/status/{b2['task_id']}")
+            if h["queue_depth"] == 0 and \
+                    r2.get("status") == TaskStatus.SUCCESS.value:
+                break
+            time.sleep(0.05)
+        assert h["queue_depth"] == 0 and h["busy"] is False
+        assert r2["status"] == TaskStatus.SUCCESS.value
+        assert "queue_position" not in r2   # only reported while queued
+    finally:
+        srv.shutdown()
