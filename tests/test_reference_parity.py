@@ -45,30 +45,103 @@ pytestmark = pytest.mark.skipif(
 def _install_diffusers_stub():
     if "diffusers" in sys.modules:
         return
+    import dataclasses
+    import functools
+    import inspect
+
     diffusers = types.ModuleType("diffusers")
     cfg_utils = types.ModuleType("diffusers.configuration_utils")
     mdl_utils = types.ModuleType("diffusers.models.modeling_utils")
     models_pkg = types.ModuleType("diffusers.models")
+    scheds_pkg = types.ModuleType("diffusers.schedulers")
+    sched_utils = types.ModuleType("diffusers.schedulers.scheduling_utils")
+    utils_mod = types.ModuleType("diffusers.utils")
+
+    class _Config(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
 
     class ConfigMixin:
-        pass
+        def register_to_config(self, **kwargs):
+            if not hasattr(self, "config"):
+                self.config = _Config()
+            self.config.update(kwargs)
 
     def register_to_config(fn):
-        return fn
+        """Functional stand-in: capture __init__ kwargs into self.config
+        (the reference's fm_solvers read every knob via self.config)."""
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapped(self, *args, **kwargs):
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = _Config({k: v for k, v in bound.arguments.items()
+                           if k != "self"})
+            if hasattr(self, "config"):
+                self.config.update(cfg)
+            else:
+                self.config = cfg
+            return fn(self, *args, **kwargs)
+        return wrapped
 
     class ModelMixin(torch.nn.Module):
         pass
 
+    class SchedulerMixin:
+        pass
+
+    @dataclasses.dataclass
+    class SchedulerOutput:
+        prev_sample: torch.Tensor
+
+    KarrasDiffusionSchedulers = []   # only used for the _compatibles list
+
+    def deprecate(*args, **kwargs):
+        return None
+
+    def is_scipy_available():
+        try:
+            import scipy  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
+    torch_utils = types.ModuleType("diffusers.utils.torch_utils")
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        return torch.randn(shape, generator=generator, device=device,
+                           dtype=dtype)
+
+    torch_utils.randn_tensor = randn_tensor
+    utils_mod.__path__ = []   # make diffusers.utils a package
+    utils_mod.torch_utils = torch_utils
+
     cfg_utils.ConfigMixin = ConfigMixin
     cfg_utils.register_to_config = register_to_config
     mdl_utils.ModelMixin = ModelMixin
+    sched_utils.SchedulerMixin = SchedulerMixin
+    sched_utils.SchedulerOutput = SchedulerOutput
+    sched_utils.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+    utils_mod.deprecate = deprecate
+    utils_mod.is_scipy_available = is_scipy_available
     diffusers.configuration_utils = cfg_utils
     diffusers.models = models_pkg
+    diffusers.schedulers = scheds_pkg
+    diffusers.utils = utils_mod
     models_pkg.modeling_utils = mdl_utils
+    scheds_pkg.scheduling_utils = sched_utils
     sys.modules["diffusers"] = diffusers
     sys.modules["diffusers.configuration_utils"] = cfg_utils
     sys.modules["diffusers.models"] = models_pkg
     sys.modules["diffusers.models.modeling_utils"] = mdl_utils
+    sys.modules["diffusers.schedulers"] = scheds_pkg
+    sys.modules["diffusers.schedulers.scheduling_utils"] = sched_utils
+    sys.modules["diffusers.utils"] = utils_mod
+    sys.modules["diffusers.utils.torch_utils"] = torch_utils
 
 
 def _load_ref_module(name: str, path: str):
