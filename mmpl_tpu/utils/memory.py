@@ -191,17 +191,16 @@ def _incr(c):
 
 
 def _zeros_leaf(shape, host: bool):
-    import jax.numpy as jnp
-    key = ("zeros", shape, host)
-    fn = _LEAF_STEP_CACHE.get(key)
-    if fn is None:
-        if host:
-            fn = jax.jit(lambda: stream_to_host(
-                (jnp.zeros(shape, jnp.float32),))[0])
-        else:
-            fn = jax.jit(lambda: jnp.zeros(shape, jnp.float32))
-        _LEAF_STEP_CACHE[key] = fn
-    return fn()
+    """Moment leaf born directly in its home space.  The host leaves are
+    device_put from numpy — they must NEVER round-trip through HBM: at
+    30L the two f32 moment trees total ~22 GB and even transient
+    device-side zeros pile up under async dispatch."""
+    import numpy as np
+    z = np.zeros(shape, np.float32)
+    if host:
+        from jax.memory import Space
+        return jax.device_put(z, Space.Host)
+    return jax.device_put(z)
 
 
 def host_adamw_init(params: Any) -> dict:
@@ -222,21 +221,38 @@ def host_adamw_update(params: Any, grads: Any, state: dict,
     """One AdamW step, dispatched per leaf (optax.adamw semantics: the
     weight-decay term rides inside the lr-scaled update).  Params are
     donated leaf-by-leaf; moments stream host<->HBM inside each leaf's
-    program.  Returns (new_params, new_state)."""
+    program.  Returns (new_params, new_state).
+
+    Dispatch is THROTTLED: without a periodic sync every leaf program is
+    enqueued at once and every leaf's f32 moments are in flight in HBM
+    simultaneously — the whole moment tree again (~11 GB for a 1.3B/30L
+    critic), which is exactly what per-leaf streaming exists to avoid.
+    Syncing on a completed program's param output every `sync_every`
+    leaves bounds in-flight programs (measured: the 30L critic update
+    OOM'd unthrottled, fits throttled).  ~25 ms/sync on the tunneled
+    chip -> well under a second per optimizer step."""
+    import jax.numpy as jnp
     host = supports_host_compute_offload()
     count = _incr(state["count"])
     leaves_p, treedef = jax.tree_util.tree_flatten(params)
     leaves_g = treedef.flatten_up_to(grads)
     leaves_mu = treedef.flatten_up_to(state["mu"])
     leaves_nu = treedef.flatten_up_to(state["nu"])
+    sync_every = 8
     new_p, new_mu, new_nu = [], [], []
-    for p, g, mu, nu in zip(leaves_p, leaves_g, leaves_mu, leaves_nu):
+    for i, (p, g, mu, nu) in enumerate(zip(leaves_p, leaves_g, leaves_mu,
+                                           leaves_nu)):
         fn = _adamw_leaf_step(p.shape, p.dtype, float(lr), b1, b2, eps,
                               weight_decay, host)
         pn, mn, nn = fn(p, g, mu, nu, count)
         new_p.append(pn)
         new_mu.append(mn)
         new_nu.append(nn)
+        if host and (i + 1) % sync_every == 0:
+            # force completion of this program (and everything enqueued
+            # before it); block_until_ready can return early on the axon
+            # backend, so force a host transfer of a scalar reduce
+            float(jnp.sum(pn.astype(jnp.float32)))
     unflat = jax.tree_util.tree_unflatten
     return unflat(treedef, new_p), {"mu": unflat(treedef, new_mu),
                                     "nu": unflat(treedef, new_nu),

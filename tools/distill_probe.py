@@ -152,6 +152,8 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
 
     rng = jax.random.PRNGKey(7)
     records = []
+    memstats = {}
+    oom = None
     for step in range(steps):
         rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
         ctx = jax.random.normal(k1, (B, cfg.text_len, cfg.text_dim), dtype)
@@ -181,38 +183,64 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
                     f"temp={m.temp_size_in_bytes/2**30:.2f}G "
                     f"gen={m.generated_code_size_in_bytes/2**20:.0f}M "
                     f"alias={m.alias_size_in_bytes/2**30:.2f}G")
-        if opt_host:
-            closs, cgrads = critic_grads(models, batch, k3)
-            closs = float(closs)     # sync before the per-leaf updates
-            c = {k: models[k] for k in critic_keys}
-            new_c, opt_c = host_adamw_update(c, cgrads, opt_c, LR)
-            del cgrads
-            t_c = time.perf_counter() - t0
-            models.update(new_c)
-            t0 = time.perf_counter()
-            gloss, ggrads = gen_grads(models, batch, k4)
-            gloss = float(gloss)
-            models["generator"], opt_g = host_adamw_update(
-                models["generator"], ggrads, opt_g, LR)
-            del ggrads
-            t_g = time.perf_counter() - t0
-        else:
-            new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
-            closs = float(closs)
-            t_c = time.perf_counter() - t0
-            models.update(new_c)
-            t0 = time.perf_counter()
-            g, opt_g, gloss = gen_step(models, opt_g, batch, k4)
-            gloss = float(gloss)
-            t_g = time.perf_counter() - t0
-            models["generator"] = g
+                memstats[name] = {
+                    "args_gb": round(m.argument_size_in_bytes / 2**30, 2),
+                    "out_gb": round(m.output_size_in_bytes / 2**30, 2),
+                    "temp_gb": round(m.temp_size_in_bytes / 2**30, 2),
+                }
+        phase = "critic"
+        t_c = None
+        try:
+            if opt_host:
+                closs, cgrads = critic_grads(models, batch, k3)
+                closs = float(closs)     # sync before the per-leaf updates
+                c = {k: models[k] for k in critic_keys}
+                new_c, opt_c = host_adamw_update(c, cgrads, opt_c, LR)
+                del cgrads
+                t_c = time.perf_counter() - t0
+                models.update(new_c)
+                phase = "gen"
+                t0 = time.perf_counter()
+                gloss, ggrads = gen_grads(models, batch, k4)
+                gloss = float(gloss)
+                models["generator"], opt_g = host_adamw_update(
+                    models["generator"], ggrads, opt_g, LR)
+                del ggrads
+                t_g = time.perf_counter() - t0
+            else:
+                new_c, opt_c, closs = critic_step(models, opt_c, batch, k3)
+                closs = float(closs)
+                t_c = time.perf_counter() - t0
+                models.update(new_c)
+                phase = "gen"
+                t0 = time.perf_counter()
+                g, opt_g, gloss = gen_step(models, opt_g, batch, k4)
+                gloss = float(gloss)
+                t_g = time.perf_counter() - t0
+                models["generator"] = g
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # record the partial outcome (e.g. the critic fits but the
+            # gen step's memory demand exceeds HBM) instead of losing
+            # the measurements already made
+            oom = {"step": step, "phase": phase,
+                   "error": str(e).splitlines()[0][:200]}
+            log(f"OOM at step {step} ({phase}): stopping, recording "
+                f"partial results")
+            if phase == "gen":
+                records.append({"step": step, "critic_loss": float(closs),
+                                "critic_s": round(t_c, 2),
+                                "gen_loss": None, "gen_s": None})
+            break
         log(f"step {step}: critic={closs:.5f} ({t_c:.1f}s) "
             f"gen={gloss:.5f} ({t_g:.1f}s)")
         assert np.isfinite(closs) and np.isfinite(gloss)
         records.append({"step": step, "critic_loss": closs, "critic_s":
                         round(t_c, 2), "gen_loss": gloss,
                         "gen_s": round(t_g, 2)})
-    log("distillation steps finite and timed on chip")
+    if oom is None:
+        log("distillation steps finite and timed on chip")
 
     import json
     os.makedirs("/root/repo/runs", exist_ok=True)
@@ -228,6 +256,8 @@ def main(layers: int, F: int, steps: int, objective: str = "dmd",
         "layers": layers, "frames": F, "rollout_frames": max_F,
         "objective": objective, "offload": off, "quantize_cache": qc,
         "opt_host": opt_host, "steps": records,
+        **({"memory_analysis": memstats} if memstats else {}),
+        **({"oom": oom} if oom else {}),
     })
     with open(path, "w") as f:
         json.dump(history, f, indent=1)
