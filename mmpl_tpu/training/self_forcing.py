@@ -76,6 +76,21 @@ class SelfForcingRollout:
         #: park the graded forward's per-layer boundary activations in
         #: pinned host memory (dit.remat_layer) — full-depth single-chip
         self.remat_offload = remat_offload
+        if remat_offload and rolling:
+            # XLA compiler bug (measured 2026-08-19, libtpu v5e): offloaded
+            # remat boundaries INSIDE the rolling steady-state scan fail
+            # post-optimization with "async-start expects the shape of
+            # operand 0 to match the async shape" (device layout vs S(5)
+            # host-space copy of the stacked boundary activations).  Plain
+            # per-layer remat compiles and runs (runs/distill_probe.json);
+            # offload still applies to the absolute-slot warmup blocks
+            # outside the scan if ever split, so just demote globally.
+            import warnings
+            warnings.warn("rolling=True: demoting remat_offload to plain "
+                          "remat (XLA async-copy layout bug inside the "
+                          "steady-state scan)", stacklevel=2)
+            self.remat_offload = False
+            self.remat = True
         #: int8 rollout KV cache (models.fps_dit.init_kv_cache): valid in
         #: training because cache gradients are severed below anyway (the
         #: reference's no_grad cache); frees ~half the rollout cache HBM
