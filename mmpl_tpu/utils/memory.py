@@ -100,20 +100,6 @@ def host_opt_state(opt_state: Any) -> Any:
     return jax.tree.map(off, opt_state)
 
 
-def host_opt_init(tx, params: Any) -> Any:
-    """`tx.init(params)` with the state born in pinned host memory.
-
-    Plain `tx.init` materializes the full first/second moments in HBM
-    before `host_opt_state` can park them (5.2 GB per AdamW state at
-    1.3B — at 30 layers the two states OOM the chip during init, before
-    any step runs).  Here the zeros materialize inside one jitted program
-    and stream straight out, so peak HBM holds params + ONE transient
-    state.  Falls back to plain init off-TPU."""
-    if not supports_host_compute_offload():
-        return tx.init(params)
-    return jax.jit(lambda p: stream_to_host(tx.init(p)))(params)
-
-
 def stream_to_device(tree: Any) -> Any:
     """INSIDE jit: emit host->HBM transfers for a host-parked pytree
     (jax 0.9 memory spaces are part of the array type — a pinned-host

@@ -1007,3 +1007,32 @@ def test_rolling_iff_truncation_equivalence():
     np.testing.assert_allclose(np.asarray(outs[True]),
                                np.asarray(outs[False]),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_train_cli_offload_opt_matches_plain(tmp_path):
+    """--offload-opt (per-leaf streaming AdamW, utils/memory.host_adamw_*)
+    must be a pure PLACEMENT change: a 2-step smoke DMD run produces the
+    same losses as the on-device optax path (on CPU the host placement is
+    a no-op, so equality isolates the optimizer math + step plumbing)."""
+    import importlib
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    train = importlib.import_module("train")
+    logs = {}
+    for tag, extra in (("plain", []), ("offload", ["--offload-opt"])):
+        d = tmp_path / tag
+        assert train.main(["--objective", "dmd", "--steps", "2", "--smoke",
+                           "--num-frames", "6",
+                           "--dfake-gen-update-ratio", "1",
+                           "--log-dir", str(d)] + extra) == 0
+        runs = sorted((d).rglob("metrics.jsonl"))
+        assert runs, f"metrics.jsonl missing under {d}"
+        import json as _json
+        logs[tag] = [_json.loads(line) for line in
+                     runs[-1].read_text().splitlines()]
+    assert len(logs["plain"]) == len(logs["offload"]) == 2
+    for a, b in zip(logs["plain"], logs["offload"]):
+        assert abs(a["critic_loss"] - b["critic_loss"]) < 5e-5, (a, b)
+        assert abs(a["gen_loss"] - b["gen_loss"]) < 5e-5, (a, b)

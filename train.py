@@ -541,55 +541,74 @@ def main(argv=None):
         models = {k: jax.device_put(v, dit_param_shardings(mesh, v))
                   for k, v in models.items()}
 
-    tx = optax.adamw(args.lr)
-    tx_c = optax.adamw(args.lr_critic
-                       if args.lr_critic is not None else args.lr)
-    opt_host = False
+    lr_c = args.lr_critic if args.lr_critic is not None else args.lr
     if args.offload_opt:
-        from mmpl_tpu.utils.memory import (host_opt_init, stream_to_device,
-                                           stream_to_host,
-                                           supports_host_compute_offload)
-        opt_host = supports_host_compute_offload()
-        opt_g = host_opt_init(tx, models["generator"])
-        opt_c = host_opt_init(tx_c, {k: models[k] for k in critic_keys})
-        if opt_host:
-            print("optimizer states + EMA shadow: pinned_host",
-                  file=sys.stderr)
+        # per-LEAF streaming AdamW (utils/memory.host_adamw_*): moments
+        # live in pinned host memory and only one leaf's moments ever
+        # exist in HBM.  The earlier whole-tree recipe (stream the full
+        # state inside one jitted step) was measured broken at 30L: XLA
+        # issues every host->HBM copy-start up front, so the full
+        # moments are resident again at the update point (PERF.md r4).
+        from mmpl_tpu.utils.memory import host_adamw_init, host_adamw_update
+        opt_g = host_adamw_init(models["generator"])
+        opt_c = host_adamw_init({k: models[k] for k in critic_keys})
+        print("optimizer states + EMA shadow: pinned_host "
+              "(per-leaf streaming AdamW)", file=sys.stderr)
+
+        @jax.jit
+        def _gen_grads(models, batch, rng):
+            (loss, _), grads = jax.value_and_grad(
+                lambda g: gen_loss({**models, "generator": g}, batch, rng),
+                has_aux=True)(models["generator"])
+            return loss, grads
+
+        @jax.jit
+        def _critic_grads(models, batch, rng):
+            cparams = {k: models[k] for k in critic_keys}
+            (loss, _), grads = jax.value_and_grad(
+                lambda c: critic_loss({**models, **c}, batch, rng),
+                has_aux=True)(cparams)
+            return loss, grads
+
+        def gen_step(models, opt_g, batch, rng):
+            loss, grads = _gen_grads(models, batch, rng)
+            float(loss)              # sync before the per-leaf updates
+            new_g, opt_g = host_adamw_update(models["generator"], grads,
+                                             opt_g, args.lr)
+            return new_g, opt_g, loss
+
+        def critic_step(models, opt_c, batch, rng):
+            loss, grads = _critic_grads(models, batch, rng)
+            float(loss)
+            cparams = {k: models[k] for k in critic_keys}
+            new_c, opt_c = host_adamw_update(cparams, grads, opt_c, lr_c)
+            return new_c, opt_c, loss
     else:
+        tx = optax.adamw(args.lr)
+        tx_c = optax.adamw(lr_c)
         opt_g = tx.init(models["generator"])
         opt_c = tx_c.init({k: models[k] for k in critic_keys})
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def gen_step(models, opt_g, batch, rng):
+            (loss, _), grads = jax.value_and_grad(
+                lambda g: gen_loss({**models, "generator": g}, batch, rng),
+                has_aux=True)(models["generator"])
+            upd, opt_g = tx.update(grads, opt_g, models["generator"])
+            return optax.apply_updates(models["generator"], upd), opt_g, loss
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def critic_step(models, opt_c, batch, rng):
+            cparams = {k: models[k] for k in critic_keys}
+            (loss, _), grads = jax.value_and_grad(
+                lambda c: critic_loss({**models, **c}, batch, rng),
+                has_aux=True)(cparams)
+            upd, opt_c = tx_c.update(grads, opt_c, cparams)
+            return optax.apply_updates(cparams, upd), opt_c, loss
     # generator EMA — the released checkpoints carry 'generator_ema'
     # (Wan_fps_inference_1gpu.py:66-68, configs/self_forcing_dmd.yaml ema)
     ema = EmaParams(models["generator"], decay=args.ema_decay,
                     offload=args.offload_opt)
-
-    def opt_update(tx_, grads, opt, params):
-        if opt_host:
-            opt = stream_to_device(opt)
-        upd, opt = tx_.update(grads, opt, params)
-        return upd, stream_to_host(opt) if opt_host else opt
-
-    # NEVER donate host-parked buffers: donation aliases by shape across
-    # memory spaces, so a donated pinned-host moment buffer can back a
-    # device-computed param output -> "moved to host" compile aborts
-    donate = () if opt_host else (1,)
-
-    @partial(jax.jit, donate_argnums=donate)
-    def gen_step(models, opt_g, batch, rng):
-        (loss, _), grads = jax.value_and_grad(
-            lambda g: gen_loss({**models, "generator": g}, batch, rng),
-            has_aux=True)(models["generator"])
-        upd, opt_g = opt_update(tx, grads, opt_g, models["generator"])
-        return optax.apply_updates(models["generator"], upd), opt_g, loss
-
-    @partial(jax.jit, donate_argnums=donate)
-    def critic_step(models, opt_c, batch, rng):
-        cparams = {k: models[k] for k in critic_keys}
-        (loss, _), grads = jax.value_and_grad(
-            lambda c: critic_loss({**models, **c}, batch, rng),
-            has_aux=True)(cparams)
-        upd, opt_c = opt_update(tx_c, grads, opt_c, cparams)
-        return optax.apply_updates(cparams, upd), opt_c, loss
 
     start_step = 0
     if args.resume:
