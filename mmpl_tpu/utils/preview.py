@@ -40,9 +40,21 @@ class TaehvPreviewer:
                                    taehv_params)
         self.denormalize = denormalize
         self._state = None
-        self._first = jax.jit(
-            lambda p, z: _taehv.taehv_decode_streaming(p, z, None))
-        self._next = jax.jit(_taehv.taehv_decode_streaming)
+
+        # clip -> scale -> uint8 -> NTHWC happens ON DEVICE: the preview
+        # frames cross a slow link (the tunneled chip moves host<->device
+        # bytes at ~MB/ms with ~25 ms floor), so transferring f32 NTCHW
+        # and converting on the 1-core host cost ~21 s per 1.3B-geometry
+        # block (measured, BENCH fewstep_preview_overhead_s); uint8 cuts
+        # the bytes 4x and the host does nothing but np.asarray
+        def _decode(p, z, state):
+            video, new_state = _taehv.taehv_decode_streaming(p, z, state)
+            u8 = jnp.clip(video, 0.0, 1.0) * 255.0
+            u8 = jnp.round(u8).astype(jnp.uint8)
+            return jnp.transpose(u8, (0, 1, 3, 4, 2)), new_state
+
+        self._first = jax.jit(lambda p, z: _decode(p, z, None))
+        self._next = jax.jit(_decode)
 
     def reset(self) -> None:
         self._state = None
@@ -54,12 +66,10 @@ class TaehvPreviewer:
             z = (z * jnp.asarray(LATENT_STD)[:, None, None]
                  + jnp.asarray(LATENT_MEAN)[:, None, None])
         if self._state is None:
-            video, self._state = self._first(self.params, z)
+            frames, self._state = self._first(self.params, z)
         else:
-            video, self._state = self._next(self.params, z, self._state)
-        frames = np.asarray(jnp.clip(video, 0.0, 1.0) * 255.0,
-                            dtype=np.float32).astype(np.uint8)
-        return np.transpose(frames, (0, 1, 3, 4, 2))   # [B,T,H,W,3]
+            frames, self._state = self._next(self.params, z, self._state)
+        return np.asarray(frames)                      # [B,T,H,W,3] uint8
 
 
 def make_preview_callback(previewer: TaehvPreviewer,
