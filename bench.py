@@ -409,27 +409,32 @@ def main():
         from mmpl_tpu.models import vae as vae_mod
         vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(20),
                                              jnp.float32)
-        dec = jax.jit(vae_mod.decode_streaming)
+        # the production decode (cli.py/serving): bf16 streaming decode +
+        # device-side uint8/NTHWC — measured 9% faster than the r1-r3 f32
+        # path at 50.8 dB (tools/vae_decode_probe.py, PERF.md)
+        dec_u8 = jax.jit(vae_mod.decode_to_frames)
         t0 = time.perf_counter()
-        vid = dec(vae_params, out.astype(jnp.float32))
-        sync(vid)
+        frames, _ = dec_u8(vae_params, out)
+        sync(frames)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        vid = dec(vae_params, out.astype(jnp.float32))
-        sync(vid)
+        frames, _ = dec_u8(vae_params, out)
+        np.asarray(frames)     # include the (now-uint8) host transfer
         vae_decode_s = time.perf_counter() - t0
-        log(f"vae decode: {vae_decode_s:.1f}s (compile+run {compile_s:.1f}s) "
-            f"video={vid.shape}")
+        log(f"vae decode (bf16->uint8): {vae_decode_s:.1f}s "
+            f"(compile+run {compile_s:.1f}s) video={frames.shape}")
         if int8_out is not None:
             # decode-space PSNR int8-vs-bf16: same noise, same weights,
             # same VAE — the quantization error as a user would see it
+            dec = jax.jit(vae_mod.decode_streaming)
+            vid = dec(vae_params, out.astype(jnp.float32))
             vid8 = dec(vae_params, int8_out.astype(jnp.float32))
             a = np.asarray(vid, np.float32)
             b = np.asarray(vid8, np.float32)
             mse = float(np.mean((a - b) ** 2))
             int8_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
             log(f"int8 decode-space PSNR vs bf16: {int8_psnr:.1f} dB")
-            del vid8, a, b
+            del vid, vid8, a, b
 
     # --- headline promotion (VERDICT r4 item 4) -----------------------------
     # int8 becomes the HEADLINE iff it is faster AND passes the decode-space

@@ -124,11 +124,11 @@ def main(argv=None):
               for i in range(args.num_chunks)]
     t0 = time.time()
     chunks = pipe.generate(noises, cond, uncond, rng=rng)
-    vids = pipe.decode_chunks(chunks)
+    vids = pipe.decode_chunks(chunks, uint8=True)
     os.makedirs(args.output_dir, exist_ok=True)
     for i, v in enumerate(vids):
-        arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
-        frames = (arr[0].transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+        # display-ready uint8 NTHWC straight off the producing device
+        frames = np.asarray(v[0])
         out = os.path.join(args.output_dir,
                            f"{args.prompt[:60]}-chunk{i + 1}.mp4")
         path = write_video(out, frames, fps=16)

@@ -212,6 +212,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed + 100)
     videos = []
+    decode_fn = jax.jit(vae.decode_to_frames)
     initial_latent = None
     if args.image:
         # i2v: VAE-encode the image as the first committed latent frame
@@ -242,24 +243,26 @@ def main(argv=None):
         all_latents.append(latents_np)
 
         t0 = time.time()
-        video = np.asarray(vae.decode_streaming(
-            vae_params, latents.astype(jnp.float32)))
+        # bf16 decode + clip/uint8/NTHWC on device: only the uint8 buffer
+        # crosses the tunneled link (vae.decode_to_frames docstring)
+        frames_u8, tail = decode_fn(vae_params, latents)
+        frames_u8 = np.asarray(frames_u8)        # [B, T, H, W, 3] uint8
         print(f"window {win}: vae decode {time.time()-t0:.1f}s",
               file=sys.stderr)
         if args.profile and getattr(pipe, "last_profile", None):
             # complete the reference-format report with the VAE phase
             pipe.last_profile.phases["VAE decoding"] = time.time() - t0
             pipe.last_profile.report()
-        video01 = np.clip(video * 0.5 + 0.5, 0, 1)
         if win > 0:
             # trim the bridged overlap: (2-1)*4+1 = 5 pixel frames
-            video01 = video01[:, 5:]
-        videos.append(video01)
+            frames_u8 = frames_u8[:, 5:]
+        videos.append(frames_u8)
 
         # rolling bridge (…_1gpu.py:160-205): re-encode the last 5 pixel
         # frames of this window as the next window's 2 context latents
+        # (tail is the device-resident f32 [-1,1] suffix — full precision,
+        # no host round-trip)
         if win + 1 < args.duration:
-            tail = jnp.asarray(video01[:, -5:] * 2.0 - 1.0)
             initial_latent = vae.encode(vae_params, tail)[:, :2]
 
     if previewer is not None and preview_frames:
@@ -268,10 +271,10 @@ def main(argv=None):
                             np.concatenate(preview_frames, axis=0), fps=16)
         print(f"wrote preview {ppath}", file=sys.stderr)
 
-    full = np.concatenate(videos, axis=1)    # [B, T, 3, H, W]
+    full = np.concatenate(videos, axis=1)    # [B, T, H, W, 3] uint8
     if args.save_latents:
         np.save(args.save_latents, np.stack(all_latents, axis=1))
-    frames = (full[0].transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+    frames = full[0]
     from .utils.video_io import write_video
     path = write_video(args.output, frames, fps=16)
     print(f"wrote {path}: {frames.shape[0]} frames "

@@ -35,6 +35,10 @@ from ..models import vae as vae_mod
 from ..pipelines.fps_inference import CausalFPSInferencePipeline
 
 
+# jit cache shared across stages/instances (keyed on param shapes)
+_decode_u8 = jax.jit(vae_mod.decode_to_frames)
+
+
 def make_bridge_fn(vae_params, num_handoff: int):
     """jitted: handoff latents [B, n, C, H, W] -> initial_latent [B, 2, C, H, W].
 
@@ -156,12 +160,22 @@ class ChunkParallelPipeline:
         return outputs
 
     def decode_chunks(self, chunks: Sequence[jnp.ndarray],
-                      streaming: bool = True) -> List[jnp.ndarray]:
-        """Decode each chunk on its producing stage (overlaps across devices)."""
+                      streaming: bool = True,
+                      uint8: bool = False) -> List[jnp.ndarray]:
+        """Decode each chunk on its producing stage (overlaps across devices).
+
+        uint8=True returns display-ready [B, T, H, W, 3] uint8 frames via
+        the production bf16 decode (vae.decode_to_frames) — clip/scale/
+        transpose run on the producing device, so only the 4x-smaller
+        uint8 buffer is ever materialised on the host.
+        """
         vids = []
         for ci, lat in enumerate(chunks):
             stage = self.stages[ci % len(self.stages)]
             vp = stage["vae"]
+            if uint8:
+                vids.append(_decode_u8(vp, lat)[0])
+                continue
             dec = vae_mod.decode_streaming if streaming else vae_mod.decode
             vids.append(dec(vp, lat.astype(jnp.float32)))
         return vids

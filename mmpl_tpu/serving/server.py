@@ -552,7 +552,7 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
         with gen_lock:
             chunks = pipe.generate(noises, cond, uncond, rng=rng,
                                    initial_latent=initial)
-            vids = pipe.decode_chunks(chunks)
+            vids = pipe.decode_chunks(chunks, uint8=True)
             # chunks finish in order on their stage queues: materialising
             # vids[i] blocks only on chunk i, so each written file can be
             # published (on_chunk) while later chunks still compute.
@@ -561,9 +561,9 @@ def make_pipeline_backend(cfg, params, vae_params, text_encoder,
             # the 1.3B HBM budget.
             paths = []
             for i, v in enumerate(vids):
-                arr = np.asarray(v * 0.5 + 0.5).clip(0, 1)
-                frames = (arr[0].transpose(0, 2, 3, 1) * 255).astype(
-                    np.uint8)
+                # display-ready uint8 NTHWC straight off the device
+                # (bf16 decode + conversion on chip; 4x fewer host bytes)
+                frames = np.asarray(v[0])
                 out = os.path.join(
                     config.output_folder,
                     f"{prompt[:50]}-chunk{i + 1}-seed{seed}.mp4")

@@ -66,6 +66,33 @@ def test_streaming_decode_matches_full(params):
     np.testing.assert_allclose(stream, full, atol=2e-4, rtol=1e-4)
 
 
+def test_decode_to_frames_matches_f32_decode(params):
+    """Production decode (bf16, device-side uint8/NTHWC) tracks the f32
+    decode; the bridge tail is the [-1,1] suffix at full precision."""
+    B, T, h, w = 1, 3, 4, 4
+    z = jax.random.normal(jax.random.PRNGKey(5), (B, T, 16, h, w))
+    frames, tail = jax.jit(vae.decode_to_frames)(params, z)
+    Tpx = 1 + (T - 1) * 4
+    assert frames.shape == (B, Tpx, h * 8, w * 8, 3)
+    assert frames.dtype == jnp.uint8
+    assert tail.shape == (B, 5, 3, h * 8, w * 8)
+    assert tail.dtype == jnp.float32
+
+    ref = np.asarray(vae.decode_streaming(params, z))    # f32 [-1,1] NCTHW
+    ref_u8 = np.round((ref * 0.5 + 0.5) * 255.0).transpose(0, 1, 3, 4, 2)
+    # bf16 decode vs f32: 50.8 dB at real geometry — a few counts of drift
+    diff = np.abs(np.asarray(frames).astype(np.int32)
+                  - ref_u8.astype(np.int32))
+    assert np.mean(diff) < 2.0
+    assert np.quantile(diff, 0.99) <= 8
+    np.testing.assert_allclose(np.asarray(tail), ref[:, -5:], atol=0.05)
+    # tail is exactly the decode the frames came from (self-consistency)
+    own = np.round((np.asarray(tail) * 0.5 + 0.5) * 255.0)
+    np.testing.assert_array_equal(
+        own.transpose(0, 1, 3, 4, 2),
+        np.asarray(frames[:, -5:], dtype=np.float64))
+
+
 def test_latent_normalisation_roundtrip(params):
     """encode applies (mu-mean)/std; decode inverts it before conv2."""
     assert vae.LATENT_MEAN.shape == (16,)
