@@ -261,12 +261,45 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
         f"{overhead / (F / 4):+.2f}s per preview block)")
     del pipe, previewer
     gc.collect()
+
+    # int8-auto on the few-step path (probe-measured +6.9% throughput,
+    # tools/fewstep_int8_probe.py; recorded here so the round artifact
+    # carries it)
+    int8_window_s = int8_p50 = None
+    if os.environ.get("BENCH_SKIP_FEWSTEP_INT8", "0") != "1":
+        params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+        pipe8 = CausalInferencePipeline(
+            cfg, params, denoising_step_list=(1000, 750, 500, 250),
+            num_frame_per_block=nb, max_attention_frames=cap,
+            quantize="auto", dtype=dtype)
+        del params
+        t0 = time.perf_counter()
+        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(0))
+        sync(out)
+        log(f"fewstep int8 window0 (compile+run): "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(1),
+                              profile=True)
+        sync(out)
+        int8_window_s = time.perf_counter() - t0
+        int8_p50 = float(np.median(pipe8.last_profile.blocks[n_warm:]))
+        log(f"fewstep int8-auto: window={int8_window_s:.1f}s "
+            f"({window_s / int8_window_s - 1:+.1%}) "
+            f"steady p50 block={int8_p50 * 1e3:.0f}ms")
+        del pipe8, out
+        gc.collect()
+
     return {
         "fewstep_window_s": round(window_s, 2),
         "fewstep_frames_per_s": round(F / window_s, 4),
         "fewstep_block_p50_s": round(p50_steady, 3),
         "fewstep_frames": F,
         "fewstep_preview_overhead_s": round(overhead, 2),
+        "fewstep_int8_window_s": (None if int8_window_s is None
+                                  else round(int8_window_s, 2)),
+        "fewstep_int8_block_p50_s": (None if int8_p50 is None
+                                     else round(int8_p50, 3)),
     }
 
 

@@ -29,7 +29,9 @@ def _install_listener() -> None:
         return
     from jax._src import monitoring
 
-    def _on_event(event: str) -> None:
+    def _on_event(event: str, **kwargs) -> None:
+        # **kwargs: other libraries emit keyword events on the same bus
+        # (orbax checkpoint save sends storage_type=...)
         if event == "/jax/compilation_cache/cache_hits":
             _STATS["hits"] += 1
         elif event == "/jax/compilation_cache/cache_misses":
