@@ -59,6 +59,10 @@ def parse_args(argv=None):
                         "vae_torch2trt.py; models/vae."
                         "quantize_vae_decoder) — keep-or-revert numbers "
                         "in tools/vae_decode_probe.py / PERF.md")
+    p.add_argument("--mesh", default=None,
+                   help="multi-chip mesh 'dp=A,fsdp=B,tp=C' (sizes "
+                        "multiply to #devices) — shards params/KV cache/"
+                        "batch through either pipeline (the 14B path)")
     p.add_argument("--profile", action="store_true",
                    help="per-phase timing report (init / per-block "
                         "diffusion / VAE), reference causal_inference.py"
@@ -157,6 +161,17 @@ def main(argv=None):
         uncond = jax.random.normal(jax.random.PRNGKey(3),
                                    (1, cfg.text_len, cfg.text_dim))
 
+    mesh = None
+    if args.mesh:
+        # multi-chip single-program inference (the 14B path): params
+        # (fsdp, tp)-sharded, KV cache created sharded, batch over dp
+        from .parallel.mesh import make_mesh
+        shape = {k: int(v) for k, v in
+                 (kv.split("=") for kv in args.mesh.split(","))}
+        mesh = make_mesh(shape)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              file=sys.stderr)
+
     if denoising_step_list:
         # few-step distilled pipeline (no CFG)
         from .pipelines.causal_inference import CausalInferencePipeline
@@ -171,6 +186,7 @@ def main(argv=None):
                 run_cfg.get("independent_first_frame", False)),
             quantize=args.quantize,
             quantize_cache=args.quantize_cache,
+            mesh=mesh,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
     else:
         pipe = CausalFPSInferencePipeline(
@@ -180,6 +196,7 @@ def main(argv=None):
             guidance_scale=args.guidance_scale,
             quantize=args.quantize,
             quantize_cache=args.quantize_cache,
+            mesh=mesh,
             dtype=jnp.bfloat16 if not smoke else jnp.float32)
 
     previewer = None

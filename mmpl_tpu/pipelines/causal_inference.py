@@ -61,6 +61,7 @@ class CausalInferencePipeline:
                  fuse_qkv: bool = True,
                  quantize: Optional[str] = None,
                  quantize_cache: bool = False,
+                 mesh=None, shard_params: bool = True,
                  dtype=jnp.bfloat16):
         """max_attention_frames: enables the ROLLING KV cache — a fixed
         `max_attention_frames`-slot buffer in recency order with the first
@@ -71,13 +72,24 @@ class CausalInferencePipeline:
         are static, RoPE comes from a traced start frame).  When None, the
         cache grows with the video (one program per (start, size) pair) —
         attention is still truncated to the last `local_attn_frames`.
+
+        mesh: optional jax.sharding.Mesh with (dp, fsdp, tp) axes — the
+        14B few-step path.  Params placed (fsdp, tp)-sharded (unless the
+        caller pre-sharded them: shard_params=False), the KV cache is
+        *created* sharded (dp over batch, tp over merged heads), cross-
+        attn K/V constrained likewise; batch shards over dp when it
+        divides.  Same design as CausalFPSInferencePipeline(mesh=...).
         """
         self.cfg = cfg
+        self.mesh = mesh
         if fuse_qkv and "qkv" not in params["blocks"]["self_attn"]:
             from ..models.dit import fuse_qkv_params
             params = fuse_qkv_params(params, num_heads=cfg.num_heads)
         from ..models.dit import apply_quantize
         params = apply_quantize(params, quantize, cfg)
+        if mesh is not None and shard_params:
+            from ..parallel.mesh import shard_params_for_inference
+            params = shard_params_for_inference(params, mesh)
         self.params = params
         self.num_frame_per_block = num_frame_per_block
         self.quantize_cache = bool(quantize_cache)
@@ -107,6 +119,53 @@ class CausalInferencePipeline:
         self._block_fns = {}
         self._commit_fns = {}
         self._rolling_fn = None
+        self._ctx_fn = None
+
+    # ------------------------------------------------------------------
+    # sharding helpers (no-ops when mesh is None)
+    # ------------------------------------------------------------------
+
+    def _replicate(self, x):
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _constrain_batch(self, x):
+        """Shard the block batch over dp when it divides (no CFG pair
+        here — dp carries plain batch parallelism)."""
+        if (self.mesh is None or "dp" not in self.mesh.shape
+                or x.shape[0] % self.mesh.shape["dp"] != 0):
+            return self._replicate(x)
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+
+    def _make_cache(self, B: int, tokens_per_frame: int, num_slots: int):
+        """Create the KV cache; under a mesh it is created already sharded
+        (out_shardings) so a 14B cache never materialises replicated."""
+        mk = functools.partial(init_kv_cache, self.cfg, B, tokens_per_frame,
+                               num_slots=num_slots, dtype=self.dtype,
+                               quantize=self.quantize_cache)
+        if self.mesh is None:
+            return mk()
+        from ..parallel.mesh import kv_cache_shardings
+        sh = kv_cache_shardings(self.mesh, jax.eval_shape(mk))
+        return jax.jit(mk, out_shardings=sh)()
+
+    def _context_kv(self, cond_context):
+        """Jitted text-embed + cross-attn K/V precompute (eager ops compile
+        per-op on TPU); under a mesh the K/V come out tp-head sharded."""
+        if self._ctx_fn is None:
+            def impl(params, cond):
+                emb = embed_text(params, cond.astype(self.dtype))
+                ckv = precompute_context_kv(params, self.cfg, emb)
+                if self.mesh is not None:
+                    from ..parallel.mesh import context_kv_shardings
+                    ckv = jax.lax.with_sharding_constraint(
+                        ckv, context_kv_shardings(self.mesh, ckv))
+                return ckv
+            self._ctx_fn = jax.jit(impl)
+        return self._ctx_fn(self.params, self._replicate(cond_context))
 
     # ------------------------------------------------------------------
 
@@ -267,15 +326,12 @@ class CausalInferencePipeline:
 
         with (timer.phase("Initialization/caching") if timer
               else contextlib.nullcontext()):
-            emb = embed_text(self.params, cond_context.astype(self.dtype))
-            ctx_kv = precompute_context_kv(self.params, self.cfg, emb)
+            ctx_kv = self._context_kv(cond_context)
             total = n_init + F
             cap = self.max_attention_frames
             num_slots = cap if cap is not None else max(
                 total, self.local_attn_frames)
-            cache = init_kv_cache(self.cfg, B, H * W // 4,
-                                  num_slots=num_slots, dtype=self.dtype,
-                                  quantize=self.quantize_cache)
+            cache = self._make_cache(B, H * W // 4, num_slots)
             if timer:
                 _sync(ctx_kv)
         outputs = []
@@ -292,7 +348,8 @@ class CausalInferencePipeline:
             sizes += [nb] * (rem // nb)
             consumed = 0
             for g in sizes:
-                clean = initial_latent[:, consumed:consumed + g]
+                clean = self._constrain_batch(
+                    initial_latent[:, consumed:consumed + g])
                 fn = self._get(self._commit_fns, self._commit_block, start, g)
                 cache = fn(self.params, ctx_kv, cache,
                            clean.astype(jnp.float32))
@@ -313,7 +370,7 @@ class CausalInferencePipeline:
         for g in sizes:
             t_blk0 = time.perf_counter()
             rng, sub = jax.random.split(rng)
-            noisy = noise[:, consumed:consumed + g]
+            noisy = self._constrain_batch(noise[:, consumed:consumed + g])
             if cap is not None and start + g > cap:
                 # steady state: fixed cache, ONE compiled program
                 assert start >= cap and (start - cap) % g == 0, (

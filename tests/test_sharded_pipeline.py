@@ -98,6 +98,31 @@ def test_chunk_pipeline_over_stage_meshes(setup):
                                    rtol=1e-4)
 
 
+def test_sharded_fewstep_rolling_matches_replicated(setup):
+    """The few-step distilled pipeline (the production-latency path) under
+    the mesh: (dp2, fsdp2, tp2)-sharded params/cache/batch must reproduce
+    the replicated output through warm-up AND rolling steady-state blocks
+    (the 14B few-step serving path)."""
+    from mmpl_tpu.pipelines.causal_inference import CausalInferencePipeline
+    cfg, params, _, cond, _ = setup
+    B, F, C, h, w = 2, 12, 16, 4, 4       # B=2: dp carries plain batch
+    noise = jax.random.normal(jax.random.PRNGKey(11), (B, F, C, h, w))
+    cond2 = jnp.concatenate([cond, cond], 0)
+
+    def run(mesh):
+        pipe = CausalInferencePipeline(
+            cfg, params, denoising_step_list=(1000, 500),
+            num_frame_per_block=3, max_attention_frames=6, mesh=mesh,
+            dtype=jnp.float32)
+        return np.asarray(pipe.inference(noise, cond2,
+                                         rng=jax.random.PRNGKey(7)))
+
+    ref = run(None)
+    out = run(make_mesh({"dp": 2, "fsdp": 2, "tp": 2}))
+    assert out.shape == ref.shape == (B, F, C, h, w)
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+
 def test_sharded_window_quantized_cache(setup):
     """int8 KV cache under the mesh: value leaves tp-shard on channels,
     scale planes dp-only; the sharded quantized window must match the
