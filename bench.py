@@ -278,11 +278,15 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
         sync(out)
         log(f"fewstep int8 window0 (compile+run): "
             f"{time.perf_counter() - t0:.1f}s")
+        # amortised window (async block chain, one sync — same protocol
+        # as the bf16 pass) and a separate profiled pass for block p50
         t0 = time.perf_counter()
-        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(1),
-                              profile=True)
+        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(1))
         sync(out)
         int8_window_s = time.perf_counter() - t0
+        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(2),
+                              profile=True)
+        sync(out)
         int8_p50 = float(np.median(pipe8.last_profile.blocks[n_warm:]))
         log(f"fewstep int8-auto: window={int8_window_s:.1f}s "
             f"({window_s / int8_window_s - 1:+.1%}) "
