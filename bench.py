@@ -176,6 +176,7 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
         f"dispatch={ {k: round(v, 2) for k, v in pipe.phase_times.items()} }")
 
     window_times = []
+    out_key1 = None
     for wi in range(n_windows):
         t0 = time.perf_counter()
         out = pipe.inference(noise, cond, uncond,
@@ -184,7 +185,13 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
         dt = time.perf_counter() - t0
         window_times.append(dt)
         log(f"window{wi + 1}: {dt:.1f}s")
-    return out, window_times, window0_s
+        if wi == 0:
+            # keep the PRNGKey(1) window's latents: the int8 quality gate
+            # compares against an int8 pass that always runs PRNGKey(1),
+            # and rng drives the reseed noise — comparing different-rng
+            # windows would measure rng variance, not quantization error
+            out_key1 = out
+    return out_key1, window_times, window0_s
 
 
 def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
@@ -206,7 +213,20 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
     nb = 3
     cap = 6 if quick else 21
     F = 12 if quick else 33            # cap warmup + >=2 rolling blocks
-    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+
+    def _init_params():
+        # same head randomization as bench_real_pipeline (the Wan head is
+        # zero-init): the int8-vs-bf16 decode-space PSNR gate below needs
+        # latents that actually carry weight signal — with a zero head the
+        # flow prediction is 0 in BOTH variants and the PSNR is vacuous
+        p = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+        k = p["head"]["head"]["kernel"]
+        p["head"]["head"]["kernel"] = (jax.random.normal(
+            jax.random.PRNGKey(99), k.shape, jnp.float32) * 0.05).astype(
+                k.dtype)
+        return p
+
+    params = _init_params()
     pipe = CausalInferencePipeline(
         cfg, params, denoising_step_list=(1000, 750, 500, 250),
         num_frame_per_block=nb, max_attention_frames=cap, dtype=dtype)
@@ -226,6 +246,7 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
     out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(1))
     sync(out)
     window_s = time.perf_counter() - t0
+    out_bf16 = out                     # PRNGKey(1) latents for the PSNR gate
 
     # profiled pass: reference-format per-block/per-phase breakdown
     out = pipe.inference(noise, cond, rng=jax.random.PRNGKey(2),
@@ -258,7 +279,7 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
     overhead = preview_s - window_s
     log(f"fewstep + TAEHV preview: {preview_s:.1f}s "
         f"(preview overhead {overhead:+.1f}s, "
-        f"{overhead / (F / 4):+.2f}s per preview block)")
+        f"{overhead / (F / nb):+.2f}s per preview block)")
     del pipe, previewer
     gc.collect()
 
@@ -266,8 +287,9 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
     # tools/fewstep_int8_probe.py; recorded here so the round artifact
     # carries it)
     int8_window_s = int8_p50 = None
+    out_int8 = None
     if os.environ.get("BENCH_SKIP_FEWSTEP_INT8", "0") != "1":
-        params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+        params = _init_params()
         pipe8 = CausalInferencePipeline(
             cfg, params, denoising_step_list=(1000, 750, 500, 250),
             num_frame_per_block=nb, max_attention_frames=cap,
@@ -281,8 +303,8 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
         # amortised window (async block chain, one sync — same protocol
         # as the bf16 pass) and a separate profiled pass for block p50
         t0 = time.perf_counter()
-        out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(1))
-        sync(out)
+        out_int8 = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(1))
+        sync(out_int8)
         int8_window_s = time.perf_counter() - t0
         out = pipe8.inference(noise, cond, rng=jax.random.PRNGKey(2),
                               profile=True)
@@ -294,7 +316,7 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
         del pipe8, out
         gc.collect()
 
-    return {
+    metrics = {
         "fewstep_window_s": round(window_s, 2),
         "fewstep_frames_per_s": round(F / window_s, 4),
         "fewstep_block_p50_s": round(p50_steady, 3),
@@ -305,24 +327,40 @@ def bench_fewstep(cfg, B, C, H, W, dtype, quick: bool):
         "fewstep_int8_block_p50_s": (None if int8_p50 is None
                                      else round(int8_p50, 3)),
     }
+    return metrics, out_bf16, out_int8
 
 
-def _device_preflight(timeout_s: int = 300) -> bool:
+def _device_preflight(timeout_s: int = 300, attempts: int = None,
+                      retry_wait_s: int = None) -> bool:
     """Prove the accelerator answers a trivial program before committing
     to the long bench.  This image's tunneled worker can wedge for >1 h
     when a previous client died mid-compile (the remote compile helper
     keeps grinding and serializes everything behind it — CLAUDE.md); a
     hung bench is worse than an error row, so probe in a subprocess with
-    a hard timeout."""
+    a hard timeout.  The wedge drains on its own (observed 2026-08-18/19),
+    so retry with waits before declaring the device down — round 4's
+    recorded bench was a 0.0 error row from a single-shot preflight that
+    would likely have passed 20 minutes later."""
     import subprocess
+    attempts = attempts or int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS",
+                                              "3"))
+    retry_wait_s = retry_wait_s or int(
+        os.environ.get("BENCH_PREFLIGHT_RETRY_WAIT_S", "300"))
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((128,128)))))")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, timeout=timeout_s)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        if i:
+            log(f"preflight attempt {i} failed; waiting {retry_wait_s}s "
+                f"for the tunnel to drain ({attempts - i} attempts left)")
+            time.sleep(retry_wait_s)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, timeout=timeout_s)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
@@ -444,8 +482,10 @@ def main():
 
     # --- few-step distilled AR path (VERDICT r3 item 2) ---------------------
     fewstep = {}
+    fs_out_bf16 = fs_out_int8 = None
     if os.environ.get("BENCH_SKIP_FEWSTEP", "0") != "1":
-        fewstep = bench_fewstep(cfg, B, C, H, W, dtype, quick)
+        fewstep, fs_out_bf16, fs_out_int8 = bench_fewstep(
+            cfg, B, C, H, W, dtype, quick)
 
     # --- streaming VAE decode + int8 quality gate ---------------------------
     vae_decode_s = None
@@ -468,18 +508,24 @@ def main():
         vae_decode_s = time.perf_counter() - t0
         log(f"vae decode (bf16->uint8): {vae_decode_s:.1f}s "
             f"(compile+run {compile_s:.1f}s) video={frames.shape}")
-        if int8_out is not None:
+        def _decode_psnr(lat_a, lat_b, label):
             # decode-space PSNR int8-vs-bf16: same noise, same weights,
             # same VAE — the quantization error as a user would see it
             dec = jax.jit(vae_mod.decode_streaming)
-            vid = dec(vae_params, out.astype(jnp.float32))
-            vid8 = dec(vae_params, int8_out.astype(jnp.float32))
+            vid = dec(vae_params, lat_a.astype(jnp.float32))
+            vid8 = dec(vae_params, lat_b.astype(jnp.float32))
             a = np.asarray(vid, np.float32)
             b = np.asarray(vid8, np.float32)
             mse = float(np.mean((a - b) ** 2))
-            int8_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
-            log(f"int8 decode-space PSNR vs bf16: {int8_psnr:.1f} dB")
-            del vid, vid8, a, b
+            psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
+            log(f"{label} decode-space PSNR vs bf16: {psnr:.1f} dB")
+            return psnr
+
+        if int8_out is not None:
+            int8_psnr = _decode_psnr(out, int8_out, "int8")
+        if fs_out_int8 is not None:
+            fewstep["fewstep_int8_psnr_db"] = round(
+                _decode_psnr(fs_out_bf16, fs_out_int8, "fewstep int8"), 1)
 
     # --- headline promotion (VERDICT r4 item 4) -----------------------------
     # int8 becomes the HEADLINE iff it is faster AND passes the decode-space
@@ -497,6 +543,16 @@ def main():
         log(f"int8 PROMOTED to headline: PSNR {int8_psnr:.1f} >= "
             f"{psnr_gate} dB and {int8_window_s:.1f}s < "
             f"{window_s_measured:.1f}s")
+    # same accept/reject procedure for the few-step production path
+    fs_psnr = fewstep.get("fewstep_int8_psnr_db")
+    fs_int8_s = fewstep.get("fewstep_int8_window_s")
+    if fs_int8_s is not None:
+        fewstep["fewstep_int8_promoted"] = bool(
+            fs_psnr is not None and fs_psnr >= psnr_gate
+            and fs_int8_s < fewstep["fewstep_window_s"])
+        if fewstep["fewstep_int8_promoted"]:
+            log(f"fewstep int8 PROMOTED: PSNR {fs_psnr:.1f} >= {psnr_gate} "
+                f"dB and {fs_int8_s:.1f}s < {fewstep['fewstep_window_s']:.1f}s")
 
     frames_per_s = plan.num_frames / headline_window_s
     total = window_flops(cfg, plan, S, steps, CFG_FORWARDS)

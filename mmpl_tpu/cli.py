@@ -239,6 +239,13 @@ def main(argv=None):
         initial_latent = vae.encode(
             vae_params, jnp.asarray(img)[None, None])   # [1, 1, 16, h, w]
     all_latents = []
+    # JAX dispatch is async: enqueue every window's denoise->decode->bridge
+    # chain first and fetch the big uint8 frame buffers LAST, so the ~97 MB
+    # per-window host transfer over the tunneled link overlaps the next
+    # window's device compute instead of stalling the dispatch thread.
+    # --profile keeps the per-window sync (real phase timings need it).
+    sync_each = bool(args.profile or args.save_latents)
+    pending = []                             # device-resident uint8 frames
     for win in range(args.duration):
         rng, kn, ki = jax.random.split(rng, 3)
         noise = jax.random.normal(kn, (1, 21, 16, lat_h, lat_w))
@@ -254,26 +261,28 @@ def main(argv=None):
         else:
             latents = pipe.inference(noise, cond, uncond,
                                      initial_latent=initial_latent, rng=ki)
-        latents_np = np.asarray(latents)
-        print(f"window {win}: denoise {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        all_latents.append(latents_np)
+        if sync_each:
+            latents_np = np.asarray(latents)
+            all_latents.append(latents_np)
+            print(f"window {win}: denoise {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+        else:
+            print(f"window {win}: denoise enqueued {time.time()-t0:.1f}s",
+                  file=sys.stderr)
 
         t0 = time.time()
         # bf16 decode + clip/uint8/NTHWC on device: only the uint8 buffer
         # crosses the tunneled link (vae.decode_to_frames docstring)
         frames_u8, tail = decode_fn(vae_params, latents)
-        frames_u8 = np.asarray(frames_u8)        # [B, T, H, W, 3] uint8
-        print(f"window {win}: vae decode {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        if sync_each:
+            frames_u8 = np.asarray(frames_u8)    # [B, T, H, W, 3] uint8
+            print(f"window {win}: vae decode {time.time()-t0:.1f}s",
+                  file=sys.stderr)
         if args.profile and getattr(pipe, "last_profile", None):
             # complete the reference-format report with the VAE phase
             pipe.last_profile.phases["VAE decoding"] = time.time() - t0
             pipe.last_profile.report()
-        if win > 0:
-            # trim the bridged overlap: (2-1)*4+1 = 5 pixel frames
-            frames_u8 = frames_u8[:, 5:]
-        videos.append(frames_u8)
+        pending.append(frames_u8)
 
         # rolling bridge (…_1gpu.py:160-205): re-encode the last 5 pixel
         # frames of this window as the next window's 2 context latents
@@ -281,6 +290,13 @@ def main(argv=None):
         # no host round-trip)
         if win + 1 < args.duration:
             initial_latent = vae.encode(vae_params, tail)[:, :2]
+
+    for win, frames_u8 in enumerate(pending):
+        frames_u8 = np.asarray(frames_u8)        # host fetch (no-op if done)
+        if win > 0:
+            # trim the bridged overlap: (2-1)*4+1 = 5 pixel frames
+            frames_u8 = frames_u8[:, 5:]
+        videos.append(frames_u8)
 
     if previewer is not None and preview_frames:
         from .utils.video_io import write_video

@@ -282,12 +282,17 @@ class ParallelVideoGenerationService:
         rec = self.task_storage.get_task(key)
         if rec is None:
             return None
-        ticket = self._task_ticket.get(rec.get("task_id"))
-        if ticket is not None and rec.get("status") == \
-                TaskStatus.PROCESSING.value:
+        if rec.get("status") == TaskStatus.PROCESSING.value:
             with self._qlock:
-                # 0 = generating now; k = k tasks ahead in the FIFO
-                rec = dict(rec, queue_position=ticket - self._done_tickets)
+                ticket = self._task_ticket.get(rec.get("task_id"))
+                if ticket is not None:
+                    # 0 = generating now; k = k live tasks ahead.  Count
+                    # LIVE smaller tickets rather than ticket-done_tickets:
+                    # threading.Lock is unfair, so a later ticket can finish
+                    # first and the subtraction would go stale/negative.
+                    pos = sum(1 for t in self._task_ticket.values()
+                              if t < ticket)
+                    rec = dict(rec, queue_position=pos)
         return rec
 
     def _store(self, task_id: str, seqid: str, code: int, message: str,
