@@ -369,15 +369,21 @@ def main():
     if os.environ.get("BENCH_SKIP_PREFLIGHT", "0") != "1" \
             and not _device_preflight():
         log("DEVICE PREFLIGHT FAILED: accelerator unreachable/wedged")
-        print(json.dumps({
+        row = {
             "metric": "latent_frames_per_sec_per_chip", "value": 0.0,
             "unit": "frames/s", "vs_baseline": 0.0,
             "error": "device preflight failed: accelerator unreachable "
                      "(wedged tunnel/compile helper); rerun when the "
-                     "worker recovers. Last good full run (2026-08-17): "
-                     "0.1131 frames/s/chip bf16 (window 185.7s), 0.1209 "
-                     "int8 (173.7s), vs_baseline 0.253",
-        }))
+                     "worker recovers.",
+        }
+        try:  # quote the most recent successful full run (written below)
+            with open("runs/last_good_bench.json") as f:
+                row["last_good"] = json.load(f)
+        except OSError:
+            row["error"] += (" Last good full run (2026-08-17): 0.1131 "
+                             "frames/s/chip bf16 (window 185.7s), 0.1209 "
+                             "int8 (173.7s), vs_baseline 0.253")
+        print(json.dumps(row))
         return
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     n_windows = int(os.environ.get("BENCH_WINDOWS", "1"))
@@ -573,7 +579,7 @@ def main():
         f"  frames/s/chip={frames_per_s:.4f}  achieved~{achieved_tflops:.1f}"
         f" TFLOP/s  pixel-frames/s={px_per_s:.3f}  compile-cache={cstats}")
 
-    print(json.dumps({
+    result = {
         "metric": "latent_frames_per_sec_per_chip",
         "value": round(frames_per_s, 4),
         "unit": "frames/s",
@@ -597,7 +603,15 @@ def main():
         "int8_policy": None if not int8_policy else int8_policy.get("policy"),
         "compile_cache": cstats,
         **fewstep,
-    }))
+    }
+    print(json.dumps(result))
+    try:  # remembered for the preflight-failure row of a later wedged run
+        os.makedirs("runs", exist_ok=True)
+        with open("runs/last_good_bench.json", "w") as f:
+            json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M"),
+                       "quick": quick, **result}, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
