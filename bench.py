@@ -472,6 +472,7 @@ def main():
     # transfers to real weights: the procedure, not the synthetic number,
     # is the artifact).
     int8_window_s = None
+    int8_window_first_s = None
     int8_out = None
     int8_policy = None
     if (os.environ.get("BENCH_SKIP_INT8", "0") != "1" and not quick):
@@ -484,6 +485,21 @@ def main():
         int8_window_s = float(np.median(int8_times))
         log(f"int8 window: {int8_window_s:.1f}s "
             f"({window_s_measured / int8_window_s - 1:+.1%} vs bf16)")
+        if int8_window_s > 1.15 * window_s_measured:
+            # Quantization only swaps gemm kernels; the worst honest int8
+            # delta ever measured is -7% vs bf16 (PERF.md r3).  A >15%
+            # slowdown means the tunnel/compile-helper degraded mid-run
+            # (2026-08-20: a warm int8 window read 1480s vs 174s the day
+            # before, same code).  Re-measure once and keep BOTH numbers.
+            log("int8 window anomalously slow (environment flake?) — "
+                "re-measuring once")
+            int8_window_first_s = int8_window_s
+            gc.collect()
+            int8_out, int8_times, _ = bench_real_pipeline(
+                cfg, plan, B, C, H, W, dtype, steps, 1, quantize="auto")
+            int8_window_s = float(np.median(int8_times))
+            log(f"int8 window (retry): {int8_window_s:.1f}s "
+                f"({window_s_measured / int8_window_s - 1:+.1%} vs bf16)")
         gc.collect()
 
     # --- few-step distilled AR path (VERDICT r3 item 2) ---------------------
@@ -595,6 +611,8 @@ def main():
         "achieved_tflops": round(achieved_tflops, 1),
         "int8_window_s": None if int8_window_s is None
         else round(int8_window_s, 2),
+        **({} if int8_window_first_s is None else
+           {"int8_window_first_s": round(int8_window_first_s, 2)}),
         "int8_frames_per_s": None if int8_window_s is None
         else round(plan.num_frames / int8_window_s, 4),
         "int8_psnr_db": None if int8_psnr is None else round(int8_psnr, 1),

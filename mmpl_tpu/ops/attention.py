@@ -69,7 +69,29 @@ def dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 _BLOCK_TABLE = {
     (10920, 14040): (256, 2048),   # group1/anchor: 16.2ms/layer @ B=2
     (9360, 23400): (256, 2048),    # group2/3 fill: 23.4ms/layer @ B=2
+    # few-step steady block (3 own frames x 21-frame ring cache): in-model
+    # p50 2.322 -> 2.178 s/block (-6.2%), window 19.28 -> 18.56 s
+    # (tools/fewstep_tune_probe.py blocks, runs/onchip_r5.log 2026-08-20).
+    # 2520 divides 32760 exactly, so no key-padding bias row is needed.
+    (4680, 32760): (256, 2520),
 }
+
+
+def _legalize_blocks(Lq: int, Lk: int, block_q: int, block_k: int):
+    """Clamp block sizes to values the Mosaic lowering accepts.
+
+    block_q / block_k are second-minor tile dims of the q/k blocks, so both
+    must be multiples of 8.  When Lk is not a multiple of block_k the fwd
+    kernel adds a [1, Lkp] key-padding bias row whose (1, block_k) tile puts
+    block_k in the LANE dim, which must be a multiple of 128 (measured
+    on-chip: (256, 2520) at Lk=28080 fails lowering while the same entry at
+    Lk=32760 divides exactly and is legal — runs/onchip_r5.log).
+    """
+    block_q = max(128, block_q - block_q % 8)
+    block_k = max(128, block_k - block_k % 8)
+    if Lk % block_k != 0 and block_k % 128 != 0:
+        block_k = max(128, block_k - block_k % 128)
+    return block_q, block_k
 
 
 def _pick_blocks(Lq: int, Lk: int, block_q: int, block_k: int):
@@ -418,10 +440,9 @@ def flash_attention_vjp(q, k, v, scale=None, block_q=512, block_k=1024,
 
 
 def _flash_vjp_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
-    block_q = max(block_q, 128)
-    block_k = max(block_k, 128)
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
+    block_q, block_k = _legalize_blocks(Lq, Lk, block_q, block_k)
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
     qt, _ = _pad_lnd(jnp.swapaxes(q, 1, 2), block_q)
     kt, _ = _pad_lnd(jnp.swapaxes(k, 1, 2), block_k)
@@ -466,9 +487,11 @@ def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
-    block_q = max(block_q, 128)
-    block_k = max(block_k, 128)
     q, k, v, o_p, lse = res           # o_p/lse are padded [B,N,Lqp(,D)]
+    # same deterministic legalization as the fwd, so the do padding below
+    # matches the Lqp the saved o_p/lse were padded to
+    block_q, block_k = _legalize_blocks(q.shape[1], k.shape[1],
+                                        block_q, block_k)
     D = q.shape[-1]
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
 

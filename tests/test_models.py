@@ -81,6 +81,32 @@ def test_flash_matches_dense(lq, lk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_legalizes_unaligned_block_k():
+    # A block_k that neither divides Lk nor is a multiple of 128 would make
+    # the key-padding bias row's (1, block_k) tile illegal to lower (lane
+    # dim must be %128); the dispatch must legalize it, not crash.  This is
+    # the on-chip failure from runs/onchip_r5.log ((256, 2520) @ Lk=28080).
+    from mmpl_tpu.ops.attention import _legalize_blocks
+    assert _legalize_blocks(4680, 28080, 256, 2520) == (256, 2432)
+    assert _legalize_blocks(4680, 32760, 256, 2520) == (256, 2520)  # exact
+    assert _legalize_blocks(100, 200, 130, 140) == (128, 128)
+    key = jax.random.PRNGKey(0)
+    B, N, D = 1, 2, 64
+    q = jax.random.normal(key, (B, 96, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, 280, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, 280, N, D), jnp.float32)
+    want = dense_attention(q, k, v)
+    # 200 % 8 == 0 but 280 % 200 != 0 and 200 % 128 != 0 -> legalized to 128
+    got = flash_attention(q, k, v, block_q=128, block_k=200, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # gradient path must legalize identically (padding shapes must agree)
+    w = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32)
+    g = jax.grad(lambda q_: jnp.sum(flash_attention(
+        q_, k, v, block_q=128, block_k=200, interpret=True) * w))(q)
+    g_ref = jax.grad(lambda q_: jnp.sum(dense_attention(q_, k, v) * w))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=3e-5)
+
+
 def test_dense_attention_mask():
     q = jnp.ones((1, 2, 1, 4))
     k = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 1, 4)),

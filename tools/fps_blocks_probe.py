@@ -1,0 +1,149 @@
+"""In-model flash block-size A/B at the 50-step FPS window's hot shapes.
+
+Round-5 follow-up to the few-step finding (runs/fewstep_tune_probe.json):
+at (4680, 32760) the exact-divisor entry (256, 2520) beat the padded
+(512, 2048) fallback by 6.2% — almost exactly the 6.3% of attention work
+the 2048-padding wastes (32760 -> 34816).  The 50-step window's anchor
+group pads much worse: Lk=14040 -> 16384 with bk=2048 is +16.7% wasted
+K work, and 14040's exact divisors (1560/2808/4680) were never tried
+(PERF.md r1 sweep note only lists (520, 2600) at the 23400 shape).
+
+This probe times the REAL group forward (fps_forward_group, B=2 batched
+CFG, dispatch-amortised 3x3 like tools/perf_ablate.py) per candidate
+_BLOCK_TABLE override, for each denoise group, and records every
+attention (Lq, Lk) the group actually runs.
+
+Run on chip:  python tools/fps_blocks_probe.py [group_indices...]
+Writes runs/fps_blocks_probe.json.  MMPL_PROBE_TINY=1 for a CPU smoke of
+the control flow only.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from mmpl_tpu.core.config import T2V_1_3B
+from mmpl_tpu.core.geometry import t2v_plan
+from mmpl_tpu.models import dit, fps_dit
+from mmpl_tpu.ops import attention as attn
+
+OUT = "runs/fps_blocks_probe.json"
+TINY = os.environ.get("MMPL_PROBE_TINY", "0") == "1"
+
+#: per-group candidate table overrides; keys are the *steady* self-attn
+#: shapes at B=2 CFG (Lq = own frames x 1560, Lk = visible-cache + own).
+CANDIDATES = {
+    1: {  # anchor group: Lq 10920, Lk 14040 (2048 pads +16.7%)
+        "baseline": {},
+        "exact2808": {(10920, 14040): (256, 2808)},
+        "exact4680": {(10920, 14040): (256, 4680)},
+        "exact1560": {(10920, 14040): (256, 1560)},
+        "exact2808_bq512": {(10920, 14040): (512, 2808)},
+    },
+    2: {  # fill group 2: Lq 9360, Lk 20280 (2048 pads only +1%)
+        "baseline": {},
+        "exact4056": {(9360, 20280): (256, 4056)},
+        "exact1560": {(9360, 20280): (256, 1560)},
+    },
+    3: {  # fill group 3: Lq 9360, Lk 23400 (2048 pads +5%)
+        "baseline": {},
+        "exact2600": {(9360, 23400): (256, 2600)},
+        "exact4680": {(9360, 23400): (256, 4680)},
+        "exact1560": {(9360, 23400): (256, 1560)},
+    },
+}
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def setup(cfg, gi):
+    plan = t2v_plan()
+    B, C, H, W = 2, 16, 60, 104
+    if TINY:
+        H, W = 8, 8
+    S = (H // 2) * (W // 2)
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    emb = dit.embed_text(params, ctx)
+    ctx_kv = dit.precompute_context_kv(params, cfg, emb)
+    cache = fps_dit.init_kv_cache(cfg, B, S, dtype=jnp.bfloat16)
+    group = plan.groups[gi]
+    lat = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, group.num_frames, C, H, W), jnp.bfloat16)
+    t = jnp.full((B, group.num_frames), 500.0, jnp.float32)
+    return cfg, group, params, lat, t, ctx_kv, cache
+
+
+def timed(cfg, group, params, lat, t, ctx_kv, cache):
+    fwd = jax.jit(lambda p, l, tt, ck, ca: fps_dit.fps_forward_group(
+        p, cfg, l, tt, ck, ca, group)[0])
+    out = fwd(params, lat, t, ctx_kv, cache)   # compile
+    sync(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fwd(params, lat, t, ctx_kv, cache)
+        sync(out)
+        times.append((time.perf_counter() - t0) / 3)
+    return float(np.median(times))
+
+
+def main():
+    gis = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
+    cfg = T2V_1_3B
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = type(cfg)({**cfg, "dim": 64, "ffn_dim": 128, "num_heads": 2,
+                         "num_layers": 2, "text_len": 16, "text_dim": 32})
+    print(f"devices: {jax.devices()} groups={gis}", flush=True)
+
+    # record the attention shapes each group really runs
+    seen = set()
+    orig = attn.flash_attention
+
+    def recorder(q, k, v, *a, **kw):
+        seen.add((q.shape[1], k.shape[1]))
+        return orig(q, k, v, *a, **kw)
+
+    attn.flash_attention = recorder
+    saved = dict(attn._BLOCK_TABLE)
+    res = {"date": time.strftime("%Y-%m-%d %H:%M")}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            res = {**json.load(f), "date": res["date"]}
+    try:
+        for gi in gis:
+            args = setup(cfg, gi)
+            gres = {}
+            for name, entries in CANDIDATES[gi].items():
+                attn._BLOCK_TABLE.clear()
+                attn._BLOCK_TABLE.update(saved)
+                attn._BLOCK_TABLE.update(entries)
+                seen.clear()
+                ms = timed(*args) * 1e3
+                gres[name] = {"step_ms": round(ms, 1),
+                              "shapes": sorted(seen)}
+                print(f"  group{gi} {name}: {ms:.1f} ms  "
+                      f"shapes={sorted(seen)}", flush=True)
+            res[f"group{gi}"] = gres
+    finally:
+        attn.flash_attention = orig
+        attn._BLOCK_TABLE.clear()
+        attn._BLOCK_TABLE.update(saved)
+    os.makedirs("runs", exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
