@@ -122,6 +122,11 @@ def main():
             res = {**json.load(f), "date": res["date"]}
     try:
         for gi in gis:
+            # drop the previous group's buffers AND compiled executables
+            # before allocating the next (group2+group3 in one process
+            # OOM'd 16G HBM on leftover executables — runs/onchip_r5b.log)
+            args = None
+            jax.clear_caches()
             args = setup(cfg, gi)
             gres = {}
             for name, entries in CANDIDATES[gi].items():
