@@ -74,6 +74,19 @@ _BLOCK_TABLE = {
     # (tools/fewstep_tune_probe.py blocks, runs/onchip_r5.log 2026-08-20).
     # 2520 divides 32760 exactly, so no key-padding bias row is needed.
     (4680, 32760): (256, 2520),
+    # 50-step group2 fill (6 own frames, 13-frame visibility): in-model
+    # step 1079.5 -> 1038.8 ms (-3.8%, tools/fps_blocks_probe.py,
+    # runs/onchip_r5b.log 2026-08-20).  4056 divides 20280 exactly.  The
+    # anchor group's exact divisors all LOST to the padded (256, 2048)
+    # baseline (1016.8 ms) despite +16.7% padded-K work — padding cost is
+    # not linear in wasted K; keep measured entries only.
+    (9360, 20280): (256, 4056),
+    # few-step WARMUP blocks (growing ring cache before steady state):
+    # exact divisors take warmup p50 1.607 -> 1.545 s, window 18.56 ->
+    # 18.50 s (tools/fewstep_tune_probe.py blocks, runs/onchip_r5b.log).
+    (4680, 18720): (520, 1560),
+    (4680, 23400): (520, 1560),
+    (4680, 28080): (256, 2160),
 }
 
 

@@ -50,11 +50,17 @@ CANDIDATES = {
         "exact4056": {(9360, 20280): (256, 4056)},
         "exact1560": {(9360, 20280): (256, 1560)},
     },
-    3: {  # fill group 3: Lq 9360, Lk 23400 (2048 pads +5%)
+    3: {  # fill group 3 is APPEND-mode: it gathers all 15 visible slots
+        # AND appends its own 6 frames -> the hot shape is (9360, 32760),
+        # not (9360, 23400) (fps_dit.py:135-138; the first A/B keyed 23400
+        # and measured baseline four times — runs/onchip_r5b.log).
+        # 32760's %8 divisors near the sweet spot: 2520 (x13, the few-step
+        # winner at Lq=4680), 2184 (x15), 4680 (x7).
         "baseline": {},
-        "exact2600": {(9360, 23400): (256, 2600)},
-        "exact4680": {(9360, 23400): (256, 4680)},
-        "exact1560": {(9360, 23400): (256, 1560)},
+        "exact2520": {(9360, 32760): (256, 2520)},
+        "exact2184": {(9360, 32760): (256, 2184)},
+        "exact4680": {(9360, 32760): (256, 4680)},
+        "exact1560_bq520": {(9360, 32760): (520, 1560)},
     },
 }
 
