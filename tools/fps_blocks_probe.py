@@ -28,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 from mmpl_tpu.core.config import T2V_1_3B
-from mmpl_tpu.core.geometry import t2v_plan
+from mmpl_tpu.core.geometry import i2v_plan, t2v_plan
 from mmpl_tpu.models import dit, fps_dit
 from mmpl_tpu.ops import attention as attn
 
@@ -38,6 +38,14 @@ TINY = os.environ.get("MMPL_PROBE_TINY", "0") == "1"
 #: per-group candidate table overrides; keys are the *steady* self-attn
 #: shapes at B=2 CFG (Lq = own frames x 1560, Lk = visible-cache + own).
 CANDIDATES = {
+    0: {  # context group: Lq 3120; keys cover both plausible hot Lk
+        # (6240 if append-mode, 3120 if not) — inert extra keys are free,
+        # the recorder output says which one actually ran.
+        "baseline": {},
+        "exact_a": {(3120, 6240): (256, 2080), (3120, 3120): (256, 1560)},
+        "exact_b": {(3120, 6240): (256, 3120), (3120, 3120): (256, 3120)},
+        "exact_c": {(3120, 6240): (256, 1560), (3120, 3120): (256, 1040)},
+    },
     1: {  # anchor group: Lq 10920, Lk 14040 (2048 pads +16.7%)
         "baseline": {},
         "exact2808": {(10920, 14040): (256, 2808)},
@@ -45,10 +53,10 @@ CANDIDATES = {
         "exact1560": {(10920, 14040): (256, 1560)},
         "exact2808_bq512": {(10920, 14040): (512, 2808)},
     },
-    2: {  # fill group 2: Lq 9360, Lk 20280 (2048 pads only +1%)
+    2: {  # fill group 2: Lq 9360, Lk 20280.  (256, 4056) won -3.8% and
+        # is now the table default ("baseline"); bq-520 variant pending.
         "baseline": {},
-        "exact4056": {(9360, 20280): (256, 4056)},
-        "exact1560": {(9360, 20280): (256, 1560)},
+        "bq520": {(9360, 20280): (520, 4056)},
     },
     3: {  # fill group 3 is APPEND-mode: it gathers all 15 visible slots
         # AND appends its own 6 frames -> the hot shape is (9360, 32760),
@@ -56,11 +64,23 @@ CANDIDATES = {
         # and measured baseline four times — runs/onchip_r5b.log).
         # 32760's %8 divisors near the sweet spot: 2520 (x13, the few-step
         # winner at Lq=4680), 2184 (x15), 4680 (x7).
+        # (256, 2520) won -4.0% (1428.2 ms) and is now the table default
+        # ("baseline"); 2184/4680/1560-bq520 lost (1519.8/1464.9/1545.6).
         "baseline": {},
-        "exact2520": {(9360, 32760): (256, 2520)},
-        "exact2184": {(9360, 32760): (256, 2184)},
-        "exact4680": {(9360, 32760): (256, 4680)},
-        "exact1560_bq520": {(9360, 32760): (520, 1560)},
+        "bq520": {(9360, 32760): (520, 2520)},
+    },
+}
+
+#: MMPL_PROBE_PLAN=i2v probes the i2v 5-group plan instead.  Only its g3
+#: runs a shape t2v never does — (9360, 23400), the non-append 6-own /
+#: 15-visible fill (this is the shape the first t2v-group3 A/B keyed by
+#: mistake; its r1 table entry (256, 2048) was never A/B'd in-model).
+I2V_CANDIDATES = {
+    3: {
+        "baseline": {},
+        "exact2600": {(9360, 23400): (256, 2600)},
+        "exact4680": {(9360, 23400): (256, 4680)},
+        "exact1800": {(9360, 23400): (256, 1800)},
     },
 }
 
@@ -69,8 +89,8 @@ def sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def setup(cfg, gi):
-    plan = t2v_plan()
+def setup(cfg, gi, i2v=False):
+    plan = i2v_plan() if i2v else t2v_plan()
     B, C, H, W = 2, 16, 60, 104
     if TINY:
         H, W = 8, 8
@@ -104,7 +124,9 @@ def timed(cfg, group, params, lat, t, ctx_kv, cache):
 
 
 def main():
-    gis = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
+    i2v = os.environ.get("MMPL_PROBE_PLAN", "t2v") == "i2v"
+    cand = I2V_CANDIDATES if i2v else CANDIDATES
+    gis = [int(a) for a in sys.argv[1:]] or sorted(cand)
     cfg = T2V_1_3B
     if TINY:
         jax.config.update("jax_platforms", "cpu")
@@ -133,9 +155,9 @@ def main():
             # OOM'd 16G HBM on leftover executables — runs/onchip_r5b.log)
             args = None
             jax.clear_caches()
-            args = setup(cfg, gi)
+            args = setup(cfg, gi, i2v)
             gres = {}
-            for name, entries in CANDIDATES[gi].items():
+            for name, entries in cand[gi].items():
                 attn._BLOCK_TABLE.clear()
                 attn._BLOCK_TABLE.update(saved)
                 attn._BLOCK_TABLE.update(entries)
@@ -143,9 +165,9 @@ def main():
                 ms = timed(*args) * 1e3
                 gres[name] = {"step_ms": round(ms, 1),
                               "shapes": sorted(seen)}
-                print(f"  group{gi} {name}: {ms:.1f} ms  "
-                      f"shapes={sorted(seen)}", flush=True)
-            res[f"group{gi}"] = gres
+                print(f"  {'i2v-' if i2v else ''}group{gi} {name}: "
+                      f"{ms:.1f} ms  shapes={sorted(seen)}", flush=True)
+            res[f"{'i2v-' if i2v else ''}group{gi}"] = gres
     finally:
         attn.flash_attention = orig
         attn._BLOCK_TABLE.clear()
