@@ -81,6 +81,11 @@ _BLOCK_TABLE = {
     # baseline (1016.8 ms) despite +16.7% padded-K work — padding cost is
     # not linear in wasted K; keep measured entries only.
     (9360, 20280): (256, 4056),
+    # 50-step group3 (APPEND-mode: 15 gathered slots + 6 own appended —
+    # the hot Lk is 32760, not 23400): step 1487.1 -> 1428.2 ms (-4.0%,
+    # tools/fps_blocks_probe.py group3b, runs/onchip_r5b.log 2026-08-20).
+    # Same (256, 2520) exact divisor that wins the few-step steady shape.
+    (9360, 32760): (256, 2520),
     # few-step WARMUP blocks (growing ring cache before steady state):
     # exact divisors take warmup p50 1.607 -> 1.545 s, window 18.56 ->
     # 18.50 s (tools/fewstep_tune_probe.py blocks, runs/onchip_r5b.log).
