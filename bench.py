@@ -176,7 +176,7 @@ def bench_real_pipeline(cfg, plan, B, C, H, W, dtype, steps, n_windows,
         f"dispatch={ {k: round(v, 2) for k, v in pipe.phase_times.items()} }")
 
     window_times = []
-    out_key1 = None
+    out_key1 = out      # fallback: BENCH_WINDOWS=0 still yields latents
     for wi in range(n_windows):
         t0 = time.perf_counter()
         out = pipe.inference(noise, cond, uncond,
@@ -379,7 +379,7 @@ def main():
         try:  # quote the most recent successful full run (written below)
             with open("runs/last_good_bench.json") as f:
                 row["last_good"] = json.load(f)
-        except OSError:
+        except (OSError, ValueError):   # missing OR truncated/corrupt file
             row["error"] += (" Last good full run (2026-08-17): 0.1131 "
                              "frames/s/chip bf16 (window 185.7s), 0.1209 "
                              "int8 (173.7s), vs_baseline 0.253")
@@ -524,12 +524,22 @@ def main():
         frames, _ = dec_u8(vae_params, out)
         sync(frames)
         compile_s = time.perf_counter() - t0
+        # time the on-device decode and the uint8 host fetch SEPARATELY:
+        # the ~97MB fetch rides the tunnel, whose throughput varied 3x
+        # across otherwise-identical runs (5.5/9.5/14.9s combined readings
+        # for unchanged decode code) — the device number is the stable
+        # production metric, the fetch is link-dependent.
         t0 = time.perf_counter()
         frames, _ = dec_u8(vae_params, out)
-        np.asarray(frames)     # include the (now-uint8) host transfer
-        vae_decode_s = time.perf_counter() - t0
+        sync(frames)                       # device-complete, ~KB fetched
+        vae_decode_device_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(frames)                 # the uint8 host transfer
+        vae_fetch_s = time.perf_counter() - t0
+        vae_decode_s = vae_decode_device_s + vae_fetch_s
         log(f"vae decode (bf16->uint8): {vae_decode_s:.1f}s "
-            f"(compile+run {compile_s:.1f}s) video={frames.shape}")
+            f"(device {vae_decode_device_s:.1f}s + fetch {vae_fetch_s:.1f}s"
+            f"; compile+run {compile_s:.1f}s) video={frames.shape}")
         def _decode_psnr(lat_a, lat_b, label):
             # decode-space PSNR int8-vs-bf16: same noise, same weights,
             # same VAE — the quantization error as a user would see it
@@ -607,6 +617,9 @@ def main():
         "p50_chunk_latency_s": round(p50_chunk, 2),
         "vae_decode_s": None if vae_decode_s is None else round(vae_decode_s,
                                                                 2),
+        **({} if vae_decode_s is None else
+           {"vae_decode_device_s": round(vae_decode_device_s, 2),
+            "vae_fetch_s": round(vae_fetch_s, 2)}),
         "pixel_frames_per_sec_per_chip": round(px_per_s, 4),
         "achieved_tflops": round(achieved_tflops, 1),
         "int8_window_s": None if int8_window_s is None
@@ -623,13 +636,20 @@ def main():
         **fewstep,
     }
     print(json.dumps(result))
-    try:  # remembered for the preflight-failure row of a later wedged run
-        os.makedirs("runs", exist_ok=True)
-        with open("runs/last_good_bench.json", "w") as f:
-            json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M"),
-                       "quick": quick, **result}, f, indent=1)
-    except OSError:
-        pass
+    if not quick:
+        # remembered for the preflight-failure row of a later wedged run;
+        # quick (smoke-geometry) runs must not clobber the record — their
+        # numbers are not comparable to the headline metric.  Write via
+        # temp+rename so a mid-write kill can't leave truncated JSON.
+        try:
+            os.makedirs("runs", exist_ok=True)
+            tmp = "runs/last_good_bench.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M"),
+                           "quick": quick, **result}, f, indent=1)
+            os.replace(tmp, "runs/last_good_bench.json")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -291,6 +291,14 @@ def main(argv=None):
         if win + 1 < args.duration:
             initial_latent = vae.encode(vae_params, tail)[:, :2]
 
+        if not sync_each and len(pending) >= 2:
+            # fetch the PREVIOUS window's frames now that this window's
+            # work is enqueued: the transfer overlaps the queued device
+            # compute, and HBM holds at most two ~97MB uint8 frame
+            # buffers instead of one per window (unbounded growth in
+            # --duration would OOM the 16GB v5e on long runs)
+            pending[-2] = np.asarray(pending[-2])
+
     for win, frames_u8 in enumerate(pending):
         frames_u8 = np.asarray(frames_u8)        # host fetch (no-op if done)
         if win > 0:

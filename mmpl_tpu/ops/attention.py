@@ -659,6 +659,10 @@ def _ring_flash_vjp_bwd(axis_name, scale, block_q, block_k, interpret,
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
     bq = min(max(block_q, 128), max(128, 1 << (Lq - 1).bit_length()))
     bk = min(max(block_k, 128), max(128, 1 << (Lk - 1).bit_length()))
+    # same legalization the per-chunk fwd applies (flash_attention_lse ->
+    # _flash_vjp_fwd_impl), so a non-%8 / non-dividing block_k request
+    # that works forward cannot crash Mosaic only when differentiated
+    bq, bk = _legalize_blocks(Lq, Lk, bq, bk)
     ring = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % ring) for i in range(ring)]
 

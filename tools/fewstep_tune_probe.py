@@ -126,17 +126,16 @@ def probe_blocks(cfg, F):
     """In-model A/B: candidate _BLOCK_TABLE entries for few-step shapes."""
     from mmpl_tpu.ops import attention as attn
     noise, cond = _inputs(cfg, 1, F)
+    # ALL few-step winners are in _BLOCK_TABLE now ("baseline"); the
+    # other candidates DELETE entries (None) to reproduce the earlier
+    # configurations for regression reference — don't re-list the winning
+    # values here or a rerun compares identical configs.
+    fewstep_keys = ((4680, 32760), (4680, 18720),
+                    (4680, 23400), (4680, 28080))
     candidates = {
-        # (256, 2520) landed in _BLOCK_TABLE after the 2026-08-20 run
-        # (p50 2.322 -> 2.178); "baseline" now carries it, "pre_r5" is the
-        # old pow2 fallback for reference.
         "baseline": {},
-        "pre_r5": {(4680, 32760): None},      # None = delete the entry
-        # warmup-shape candidates: exact divisors only (a non-%128 block_k
-        # that doesn't divide Lk is legalized down — see _legalize_blocks)
-        "warmup1560": {(4680, 18720): (520, 1560),
-                       (4680, 23400): (520, 1560),
-                       (4680, 28080): (256, 2160)},
+        "no_warmup_entries": {k: None for k in fewstep_keys[1:]},
+        "pre_r5_pow2": {k: None for k in fewstep_keys},
     }
     saved = dict(attn._BLOCK_TABLE)
     res = {}
@@ -160,10 +159,14 @@ def probe_blocks(cfg, F):
                                  profile=True)
             sync(out)
             blocks = list(pipe.last_profile.blocks)
+            # steady state begins once the ring cache is full (cap frames
+            # = 21); before that the growing-cache warmup shapes run
+            nwarm = min(len(blocks) - 1, 21 // 3)
             res[name] = {
                 "window_s": round(window_s, 2),
-                "p50_steady_s": round(float(np.median(blocks[7:])), 3),
-                "p50_warmup_s": round(float(np.median(blocks[:7])), 3),
+                "p50_steady_s": round(float(np.median(blocks[nwarm:])), 3),
+                "p50_warmup_s": round(float(np.median(blocks[:nwarm])), 3)
+                if nwarm else None,
             }
             print(f"  {name}: {res[name]}", flush=True)
             del pipe, out
