@@ -68,7 +68,16 @@ def dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 #: bk=4096 crashes Mosaic at bq>=1024.
 _BLOCK_TABLE = {
     (10920, 14040): (256, 2048),   # group1/anchor: 16.2ms/layer @ B=2
-    (9360, 23400): (256, 2048),    # group2/3 fill: 23.4ms/layer @ B=2
+    # i2v group3 (non-append 6-own/15-visible fill — a shape the t2v plan
+    # never runs): step 1194.4 -> 1162.1 ms (-2.7%) over the old r1
+    # (256, 2048) entry (tools/fps_blocks_probe.py MMPL_PROBE_PLAN=i2v,
+    # runs/onchip_r5c.log 2026-08-20).  4680 divides 23400 exactly.
+    (9360, 23400): (256, 4680),
+    # 50-step group0 (context group, Lq = Lk = 2 frames x 1560): one
+    # full-width K block: step 171.6 -> 156.2 ms (-9.0%); 1560 and 1040
+    # divisors lose (161.5 / 167.9).  tools/fps_blocks_probe.py group0,
+    # runs/onchip_r5c.log 2026-08-20.
+    (3120, 3120): (256, 3120),
     # few-step steady block (3 own frames x 21-frame ring cache): in-model
     # p50 2.322 -> 2.178 s/block (-6.2%), window 19.28 -> 18.56 s
     # (tools/fewstep_tune_probe.py blocks, runs/onchip_r5.log 2026-08-20).

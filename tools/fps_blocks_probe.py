@@ -32,19 +32,23 @@ from mmpl_tpu.core.geometry import i2v_plan, t2v_plan
 from mmpl_tpu.models import dit, fps_dit
 from mmpl_tpu.ops import attention as attn
 
-OUT = "runs/fps_blocks_probe.json"
 TINY = os.environ.get("MMPL_PROBE_TINY", "0") == "1"
+# TINY smokes must never merge CPU control-flow timings into the on-chip
+# record (one did, 2026-08-20 — group0's chip numbers had to be restored
+# from the run log).
+OUT = ("runs/fps_blocks_probe_tiny.json" if TINY
+       else "runs/fps_blocks_probe.json")
 
 #: per-group candidate table overrides; keys are the *steady* self-attn
 #: shapes at B=2 CFG (Lq = own frames x 1560, Lk = visible-cache + own).
 CANDIDATES = {
-    0: {  # context group: Lq 3120; keys cover both plausible hot Lk
-        # (6240 if append-mode, 3120 if not) — inert extra keys are free,
-        # the recorder output says which one actually ran.
+    0: {  # context group: recorder says the hot shape is (3120, 3120)
+        # (not append-mode).  (256, 3120) WON -9.0% (156.2 vs 171.6 ms,
+        # runs/onchip_r5c.log) and is now the table default ("baseline");
+        # candidates are deletions/alternatives of the landed entry.
         "baseline": {},
-        "exact_a": {(3120, 6240): (256, 2080), (3120, 3120): (256, 1560)},
-        "exact_b": {(3120, 6240): (256, 3120), (3120, 3120): (256, 3120)},
-        "exact_c": {(3120, 6240): (256, 1560), (3120, 3120): (256, 1040)},
+        "pow2_fallback": {(3120, 3120): None},
+        "exact1560": {(3120, 3120): (256, 1560)},
     },
     1: {  # anchor group: Lq 10920, Lk 14040 (2048 pads +16.7%)
         "baseline": {},
@@ -56,6 +60,7 @@ CANDIDATES = {
     2: {  # fill group 2: Lq 9360, Lk 20280.  (256, 4056) won -3.8% and
         # is now the table default ("baseline"); bq-520 variant pending.
         "baseline": {},
+        # bq520 measured a wash (1040.0 vs 1039.4 ms, runs/onchip_r5c.log)
         "bq520": {(9360, 20280): (520, 4056)},
     },
     3: {  # fill group 3 is APPEND-mode: it gathers all 15 visible slots
@@ -67,6 +72,7 @@ CANDIDATES = {
         # (256, 2520) won -4.0% (1428.2 ms) and is now the table default
         # ("baseline"); 2184/4680/1560-bq520 lost (1519.8/1464.9/1545.6).
         "baseline": {},
+        # bq520 LOST (1437.8 vs 1428.1 ms, runs/onchip_r5c.log)
         "bq520": {(9360, 32760): (520, 2520)},
     },
 }
@@ -77,10 +83,11 @@ CANDIDATES = {
 #: mistake; its r1 table entry (256, 2048) was never A/B'd in-model).
 I2V_CANDIDATES = {
     3: {
+        # (256, 4680) WON -2.7% (1162.1 vs 1194.4 ms, runs/onchip_r5c.log)
+        # and is now the table default ("baseline").
         "baseline": {},
+        "old_r1_2048": {(9360, 23400): (256, 2048)},
         "exact2600": {(9360, 23400): (256, 2600)},
-        "exact4680": {(9360, 23400): (256, 4680)},
-        "exact1800": {(9360, 23400): (256, 1800)},
     },
 }
 
@@ -160,7 +167,11 @@ def main():
             for name, entries in cand[gi].items():
                 attn._BLOCK_TABLE.clear()
                 attn._BLOCK_TABLE.update(saved)
-                attn._BLOCK_TABLE.update(entries)
+                for key, blocks in entries.items():  # None = delete entry
+                    if blocks is None:
+                        attn._BLOCK_TABLE.pop(key, None)
+                    else:
+                        attn._BLOCK_TABLE[key] = blocks
                 seen.clear()
                 ms = timed(*args) * 1e3
                 gres[name] = {"step_ms": round(ms, 1),
