@@ -653,4 +653,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except jax.errors.JaxRuntimeError as e:
+        # The tunneled compile helper intermittently drops a response body
+        # mid-read ("remote_compile: response body closed before all bytes
+        # were read" — twice on 2026-08-20, minutes apart from clean runs).
+        # Re-exec the whole process (fresh HBM/compile state; the persistent
+        # compile cache makes the retry cheap) at most twice.
+        tries = int(os.environ.get("MMPL_BENCH_RETRY", "0"))
+        if "remote_compile" in str(e) and tries < 2:
+            log(f"transient remote-compile fault: {e}; "
+                f"re-exec attempt {tries + 1}/2 in 30s")
+            time.sleep(30)
+            os.environ["MMPL_BENCH_RETRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
